@@ -1,0 +1,85 @@
+"""Data-bundle assembly (SURVEY.md §2.A A8-A9, §2.C C15).
+
+feagen analogue (reconstructed — mount empty, SURVEY.md §0):
+- ``get_data_keys_from_structure``  ≈ feagen/bundling.py (~L10-35,
+  unverified): flatten a (possibly nested) bundle structure into the flat
+  list of data keys to generate first.
+- ``bundle``                        ≈ feagen/bundling.py::
+  DataBundlerMixin.bundle (~L40-110, unverified): a LIST value in the
+  structure means "horizontally concatenate these feature arrays along
+  axis 1" (1-D promoted to a column). Column order is the list order —
+  exactness requirement.
+
+Spark-first: the axis-1 concat is a single ``select`` building one
+``array<double>`` column via ``F.array``/``F.concat`` — no shuffle at
+all; feagen's ``buffer_size`` chunked HDF5 copy is superseded by the
+distributed write.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+Structure = Mapping[str, object]  # str | list[str] | nested Mapping
+
+
+def get_data_keys_from_structure(structure: Structure) -> list[str]:
+    """Flatten the bundle structure into the involved data keys (A8)."""
+    keys: list[str] = []
+    for v in structure.values():
+        if isinstance(v, str):
+            keys.append(v)
+        elif isinstance(v, Mapping):
+            keys.extend(get_data_keys_from_structure(v))
+        elif isinstance(v, Sequence):
+            for item in v:
+                if not isinstance(item, str):
+                    raise TypeError(f"bundle list entries must be str, got {item!r}")
+                keys.append(item)
+        else:
+            raise TypeError(f"unsupported bundle structure value: {v!r}")
+    return keys
+
+
+def _as_array(df: DataFrame, col: str) -> Column:
+    """Promote a column to array<double>: scalars become length-1 arrays,
+    numeric arrays are element-cast (feagen's 1-D → column promotion)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.ArrayType):
+        return F.transform(F.col(col), lambda x: x.cast("double"))
+    return F.array(F.col(col).cast("double"))
+
+
+def _structure_cols(df: DataFrame, structure: Structure, prefix: str) -> list[Column]:
+    cols: list[Column] = []
+    for name, v in structure.items():
+        out = f"{prefix}{name}"
+        if isinstance(v, str):
+            cols.append(F.col(v).alias(out))
+        elif isinstance(v, Mapping):
+            cols.extend(_structure_cols(df, v, prefix=f"{out}_"))
+        elif isinstance(v, Sequence):
+            arrays = [_as_array(df, item) for item in v]
+            cols.append(F.concat(*arrays).alias(out))
+        else:
+            raise TypeError(f"unsupported bundle structure value: {v!r}")
+    return cols
+
+
+def bundle(
+    df: DataFrame,
+    structure: Structure,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Assemble the bundle table from a frame holding all involved columns.
+
+    str value  → copied through as its own column (dataset copy);
+    list value → ONE array<double> column, axis-1 concat in list order;
+    nested map → flattened with ``outer_`` name prefixing (HDF5 group
+    analogue). Row identity columns ``keys`` are carried through first.
+    """
+    cols = [F.col(k) for k in keys] + _structure_cols(df, structure, prefix="")
+    return df.select(*cols)

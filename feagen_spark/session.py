@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for correctness + 100TB-mindset defaults: AQE on (runtime
+coalesce + skew-join split), Arrow on (all Python crossings are
+vectorized), UTC session timezone (timestamp determinism vs oracles).
+On a real cluster the same settings apply; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "feagen_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master[master.find("[") + 1 : -1] if "[" in master else "32"
+    try:
+        n_cores = int(cores.replace("*", "32"))
+    except ValueError:
+        n_cores = 32
+    if shuffle_partitions is None:
+        # local mode: ~2x cores keeps all threads busy without tiny tasks
+        shuffle_partitions = max(8, 2 * n_cores)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
