@@ -94,7 +94,9 @@ class CheckpointStore:
             if isinstance(f.dataType, (T.DoubleType, T.FloatType))
         ]
         aggs = [
-            F.sum(F.xxhash64(*df.columns)).alias("__checksum"),
+            # decimal(38,0) sum: order-independent and overflow-proof under
+            # ANSI mode even at 10^12 rows × int64 hash range
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("__checksum"),
             F.count(F.lit(1)).alias("__rows"),
         ]
         for c in float_cols:
