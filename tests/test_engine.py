@@ -1,0 +1,198 @@
+"""Engine execution + resume-from-checkpoint tests (SURVEY.md §5.4) and
+lifetime-example bundle parity (§5.5, feagen README/test semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from feagen_spark.core.dag import FeatureDAG
+from feagen_spark.core.engine import Engine
+from feagen_spark.core.spec import FeatureNode
+from feagen_spark.features import turns as T
+from feagen_spark.operators.bundle import bundle, get_data_keys_from_structure
+from feagen_spark.store.checkpoint import CheckpointStore
+from feagen_spark.datagen.transcripts import lifetime
+
+INPUT_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _dag(checkpoint_nodes=()):
+    nodes = []
+    for n in T.transcript_nodes():
+        nodes.append(
+            FeatureNode(
+                n.name, n.outputs, n.deps, n.fn, n.version,
+                checkpoint=n.name in checkpoint_nodes,
+            )
+        )
+    return FeatureDAG(
+        nodes=nodes, templates=T.transcript_templates(), input_columns=INPUT_COLS
+    )
+
+
+def test_generate_executes_involved_only(tiny_transcripts):
+    eng = Engine(_dag(), store=None)
+    out = eng.generate(tiny_transcripts, ["turn_in_session"])
+    # involved set: session_id (ancestor) + turn_in_session, nothing else
+    assert set(eng.last_run.executed) == {"session_id", "turn_in_session"}
+    assert "turn_in_session" in out.columns
+
+
+def test_resume_skips_completed_nodes(tiny_transcripts, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    ck = ("session_id", "tool_calls_last_10")
+    eng = Engine(_dag(ck), store=store, input_token="snapA")
+    req = ["turn_in_session", "tool_calls_last_10", "prev_role"]
+
+    out1 = eng.generate(tiny_transcripts, req)
+    r1 = out1.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert set(ck) <= set(eng.last_run.executed)
+
+    out2 = eng.generate(tiny_transcripts, req)
+    assert sorted(eng.last_run.skipped) == sorted(ck)
+    assert set(eng.last_run.executed).isdisjoint(ck)
+    r2 = out2.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # identical outputs after resume
+    for c in ["turn_in_session", "tool_calls_last_10", "prev_role"]:
+        assert (
+            r1[c].fillna(-1).to_numpy() == r2[c].fillna(-1).to_numpy()
+        ).all(), c
+
+
+def test_resume_recomputes_only_invalidated_node(tiny_transcripts, tmp_path):
+    """Delete ONE mid-DAG manifest entry → only that node recomputes."""
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    ck = ("session_id", "tool_calls_last_10")
+    eng = Engine(_dag(ck), store=store, input_token="snapA")
+    req = ["turn_in_session", "tool_calls_last_10"]
+    eng.generate(tiny_transcripts, req)
+    plan = eng.last_run.plan
+    store.invalidate(plan.fingerprints["session_id"])
+
+    eng.generate(tiny_transcripts, req)
+    assert "session_id" in eng.last_run.executed
+    assert "tool_calls_last_10" in eng.last_run.skipped
+
+
+def test_new_input_token_recomputes_everything(tiny_transcripts, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    ck = ("session_id",)
+    eng1 = Engine(_dag(ck), store=store, input_token="snapA")
+    eng1.generate(tiny_transcripts, ["session_id"])
+    eng2 = Engine(_dag(ck), store=store, input_token="snapB")
+    eng2.generate(tiny_transcripts, ["session_id"])
+    assert eng2.last_run.executed == ["session_id"]  # no cross-snapshot hit
+
+
+def test_manifest_lineage_metrics(tiny_transcripts, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    eng = Engine(_dag(("session_id",)), store=store)
+    eng.generate(tiny_transcripts, ["session_id"])
+    fp = eng.last_run.plan.fingerprints["session_id"]
+    e = store.entry(fp)
+    assert e["row_count"] == tiny_transcripts.count()
+    assert e["columns"] == ["conv_id", "turn_idx", "session_id"]
+    assert sum(p["rows"] for p in e["partitions"]) == e["row_count"]
+    assert isinstance(e["checksum"], int) and e["checksum"] != 0
+    assert e["snapshot_id"]
+
+
+# -- feagen lifetime-example parity (B1-B6, FIXTURES.md §3) --------------------
+
+def test_lifetime_bundle_matches_np_hstack(spark):
+    """Replicates feagen's canonical bundle test: the features dataset must
+    equal np.hstack([weight, height, BMI]) in structure order (allclose)."""
+    df = lifetime(spark)
+    df = df.withColumn(
+        "BMI",
+        df["weight"] / ((df["height"] / 100) ** 2),
+    )
+    structure = {
+        "label": "lifetime",
+        "test_filters": "is_in_test_set",
+        "features": ["weight", "height", "BMI"],
+    }
+    assert get_data_keys_from_structure(structure) == [
+        "lifetime", "is_in_test_set", "weight", "height", "BMI",
+    ]
+    out = (
+        bundle(df, structure, keys=("id",))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pdf = df.toPandas().sort_values("id").reset_index(drop=True)
+    golden = np.hstack(
+        [
+            pdf[["weight"]].to_numpy(),
+            pdf[["height"]].to_numpy(),
+            (pdf["weight"] / ((pdf["height"] / 100) ** 2)).to_numpy()[:, None],
+        ]
+    )
+    got = np.vstack(out["features"].to_numpy())
+    assert got.shape == (6, 3)
+    assert np.allclose(got, golden)
+    assert np.allclose(out["label"], pdf["lifetime"])
+    assert (out["test_filters"].to_numpy() == pdf["is_in_test_set"].to_numpy()).all()
+
+
+def test_bundle_nested_structure(spark):
+    df = lifetime(spark)
+    out = bundle(
+        df,
+        {"grp": {"inner": ["weight", "height"]}, "label": "lifetime"},
+        keys=("id",),
+    )
+    assert out.columns == ["id", "grp_inner", "label"]
+    row = out.orderBy("id").first()
+    assert row["grp_inner"] == [60.5, 165.0]
+
+
+def test_bundle_array_column_concat(spark):
+    """array<float> members are element-cast and concatenated inline
+    (vector feature blocks, SURVEY.md §1.2)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 3.0)], "id int, emb array<float>, x double"
+    )
+    out = bundle(df, {"features": ["emb", "x"]}, keys=("id",)).first()
+    assert out["features"] == [1.0, 2.0, 3.0]
+
+
+def test_lifetime_dag_via_generator_class(spark):
+    """End-to-end feagen-style authoring: FeatureGenerator subclass with
+    @will_generate/@require compiled and executed by the Engine."""
+    from pyspark.sql import functions as F
+
+    from feagen_spark.core.spec import FeatureGenerator, require, will_generate
+
+    class Lifetime(FeatureGenerator):
+        @will_generate("BMI")
+        @require(["weight", "height"])
+        def gen_bmi(cls, df):
+            return df.withColumn(
+                "BMI", F.col("weight") / F.pow(F.col("height") / 100, 2)
+            )
+
+        @will_generate("is_senior")
+        @require("lifetime")
+        def gen_is_senior(cls, df):
+            return df.withColumn(
+                "is_senior", (F.col("lifetime") > 70).cast("int")
+            )
+
+    dag = FeatureDAG(
+        nodes=Lifetime.nodes(),
+        input_columns=("id", "lifetime", "weight", "height", "is_in_test_set"),
+    )
+    eng = Engine(dag, keys=("id",), ts_col=None)
+    out = eng.bundle(
+        lifetime(spark),
+        {"label": "lifetime", "features": ["weight", "BMI", "is_senior"]},
+        keys=("id",),
+    )
+    pdf = out.toPandas().sort_values("id")
+    first = pdf.iloc[0]["features"]
+    assert np.allclose(first, [60.5, 60.5 / 1.65**2, 0.0])
