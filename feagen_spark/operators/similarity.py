@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (task brief: ANN).
+
+- ``cosine_topk``: brute-force exact baseline. The query set is small by
+  assumption → ``broadcast`` crossJoin (no shuffle of the big side); the
+  dot product runs JVM-side via ``zip_with``+``aggregate`` in doubles;
+  top-k via one window per query. At 100TB this is a single map stage
+  over the corpus + a k-row-per-query reduce.
+- ``lsh_topk``: the scale path — random-hyperplane LSH. Deterministic
+  planes from a seeded numpy generator are broadcast inside an
+  Arrow-vectorized pandas UDF (one matmul per batch); candidates =
+  corpus rows sharing ≥1 signature band with the query, then exact
+  cosine re-rank within candidates. Recall/cost tunable via
+  (n_planes, bands).
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection (cosine
+  ≥ τ) via the same banded signatures, corpus×corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _cos(a, b) -> F.Column:
+    """Exact cosine similarity between two array columns, JVM-side, all
+    math in double (deterministic left-fold sum order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: returns (query_id, vec_id, cosine,
+    rank) with rank 1..k per query, ties broken by id for determinism."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _make_signer(dim: int, n_planes: int, seed: int):
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+
+    @pandas_udf("long")
+    def sign_bits(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(sig)
+
+    return sign_bits
+
+
+def _band_cols(sig_col: str, n_planes: int, bands: int) -> list[F.Column]:
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    return [
+        F.shiftrightunsigned(F.col(sig_col), b * r).bitwiseAND(F.lit(mask)).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures, banded candidate
+    join (corpus side shuffled by band bucket ONCE; query side broadcast),
+    exact cosine re-rank within candidates."""
+    if n_planes % bands != 0:
+        raise ValueError("n_planes must be divisible by bands")
+    dim = len(corpus.select(vec_col).first()[0])
+    signer = _make_signer(dim, n_planes, seed)
+
+    c_sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
+    q_sig = queries.select(
+        query_id_col, query_vec_col, signer(F.col(query_vec_col)).alias("qsig")
+    )
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    c_bands = c_sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * r).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    q_bands = q_sig.select(
+        query_id_col,
+        query_vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("qsig"), b * r).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cands = (
+        c_bands.join(F.broadcast(q_bands), on=["band", "bucket"])
+        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
+    via banded hyperplane-LSH candidates + exact verify."""
+    dim = len(corpus.select(vec_col).first()[0])
+    signer = _make_signer(dim, n_planes, seed)
+    sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    bands_df = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * r).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,182 @@
+"""Text analysis for training-data pipelines (task brief: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+All hot-path computation is JVM-side ``pyspark.sql.functions`` (stays in
+whole-stage codegen); the only Python crossing is the rolling-hash
+fingerprint, which is an Arrow-vectorized pandas UDF. Every operator is
+a plain ``DataFrame -> DataFrame`` transform over a table with a ``text``
+column (the driver `documents` table or transcript turns).
+
+Each JVM-side operator has an exact ANSI-SQL twin in __spark_entry__.py
+so DuckDB can act as a value-level oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Tiny deterministic stopword lists for the heuristic scorers. These are
+# fixed vocabulary, not a linguistic claim — the oracle uses the same sets.
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+LANG_MARKERS = {
+    "en": ("the", "and", "is"),
+    "de": ("der", "und", "ist"),
+    "fr": ("le", "la", "est"),
+    "es": ("el", "los", "es"),
+}
+PUNCT_CLASS = r"[^.,;:!?]"
+
+
+def _token_count(col) -> F.Column:
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")
+
+
+def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (empty/blank text → 0)."""
+    return df.withColumn("token_count", _token_count(F.col(text_col)))
+
+
+def add_bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish proxy: count of word/number/punct chunks via regex — the
+    standard pre-tokenizer split (letters|digits|other-nonspace runs)."""
+    t = F.col(text_col)
+    chunks = F.regexp_extract_all(
+        t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return df.withColumn("bpe_token_count", F.size(chunks).cast("int"))
+
+
+def add_char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    return (
+        df.withColumn("char_len", n.cast("int"))
+        .withColumn(
+            "punct_ratio",
+            F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / n
+            ),
+        )
+    )
+
+
+def _stopword_hits(col, words) -> F.Column:
+    """Occurrences of ' w ' padded markers (cheap, pushdown-friendly —
+    identical formula in the DuckDB oracle)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        marker = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+            / len(marker)
+        )
+    return total.cast("int")
+
+
+def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    hits = _stopword_hits(F.col(text_col), STOPWORDS_EN)
+    toks = _token_count(F.col(text_col))
+    return df.withColumn(
+        "stopword_ratio",
+        F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks),
+    )
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + stopword presence −
+    punctuation excess (Gopher/C4-style rule-of-thumb filters, public)."""
+    need = set(df.columns)
+    if "char_len" not in need:
+        df = add_char_stats(df, text_col)
+    if "token_count" not in need:
+        df = add_token_count(df, text_col)
+    if "stopword_ratio" not in need:
+        df = add_stopword_ratio(df, text_col)
+    len_ok = (F.col("char_len") >= 50) & (F.col("char_len") <= 10000)
+    mean_tok = F.when(
+        F.col("token_count") == 0, F.lit(0.0)
+    ).otherwise(F.col("char_len").cast("double") / F.col("token_count"))
+    tok_ok = (mean_tok >= 3) & (mean_tok <= 12)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(tok_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.col("stopword_ratio") * 3, F.lit(0.2))
+        - F.least(F.col("punct_ratio"), F.lit(0.2))
+    )
+    return df.withColumn(
+        "quality_score", F.round(F.greatest(score, F.lit(0.0)), 6)
+    )
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword heuristic language ID over a fixed 4-language
+    marker set; 'und' (undetermined) when no marker hits."""
+    scores = {
+        lang: _stopword_hits(F.col(text_col), words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # deterministic order: iterate sorted langs; strict > keeps first-wins
+    for lang in sorted(scores):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.withColumn("lang_id", best)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed). Exact SQL twin exists."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def _rolling_hash64_udf():
+    """Arrow-vectorized polynomial rolling hash (base 131, mod 2^61-1).
+    The slow-path example: per-row math but batched through Arrow.
+    Built lazily — pandas_udf needs an active session in pyspark 4."""
+
+    @pandas_udf("long")
+    def _rolling_hash64(texts: pd.Series) -> pd.Series:
+        MOD = (1 << 61) - 1
+        BASE = 131
+
+        def h(s: str) -> int:
+            acc = 0
+            for ch in s.encode("utf-8", "ignore"):
+                acc = (acc * BASE + ch) % MOD
+            return acc - (MOD if acc > (MOD >> 1) else 0)
+
+        return texts.fillna("").map(h).astype("int64")
+
+    return _rolling_hash64
+
+
+def add_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("rolling_fp", _rolling_hash64_udf()(F.col(text_col)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All JVM-side text features in one pass (single projection, no
+    shuffle — this is a map-only stage at any scale)."""
+    df = add_char_stats(df, text_col)
+    df = add_token_count(df, text_col)
+    df = add_bpe_ish_token_count(df, text_col)
+    df = add_stopword_ratio(df, text_col)
+    df = add_quality_score(df, text_col)
+    df = add_lang_id(df, text_col)
+    df = add_fingerprint(df, text_col)
+    return df

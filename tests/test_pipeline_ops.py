@@ -1,0 +1,287 @@
+"""Training-data pipeline operators vs independent python/numpy oracles:
+text stats, dedup family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feagen_spark.operators import dedup as D
+from feagen_spark.operators import similarity as S
+from feagen_spark.operators import textstats as TS
+from feagen_spark.operators import multimodal as MM
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog. It is a test."),
+    (2, "The quick brown fox jumps over the lazy dog. It is a test."),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog! It is a test."),  # near dup
+    (4, "Der Hund und die Katze, der ist gut und der bleibt."),
+    (5, "le chat est noir et la nuit est belle, le jour est long"),
+    (6, ""),
+    (7, "completely different content about spark window functions and shuffles"),
+    (8, "  The   quick brown fox jumps over the lazy dog. It is a test.  "),  # ws-norm dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.DataFrame(DOCS, columns=["doc_id", "text"])
+
+
+def _norm(s):
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def _shingleset(s, n=3):
+    s = _norm(s)
+    return {s[i : i + n] for i in range(max(1, len(s) - n + 1)) if len(s[i : i + n]) == n}
+
+
+# -- text stats ----------------------------------------------------------------
+
+def test_token_counts(docs, docs_pdf):
+    got = TS.add_token_count(docs).orderBy("doc_id").toPandas()
+    exp = [len(t.split()) if t.strip() else 0 for t in docs_pdf["text"]]
+    assert got["token_count"].tolist() == exp
+
+
+def test_char_and_punct(docs, docs_pdf):
+    got = TS.add_char_stats(docs).orderBy("doc_id").toPandas()
+    for _, r in got.iterrows():
+        t = docs_pdf.set_index("doc_id").loc[r["doc_id"], "text"]
+        assert r["char_len"] == len(t)
+        punct = sum(c in ".,;:!?" for c in t)
+        assert np.isclose(r["punct_ratio"], punct / len(t) if t else 0.0)
+
+
+def test_stopword_ratio(docs, docs_pdf):
+    got = TS.add_stopword_ratio(docs).orderBy("doc_id").toPandas()
+    for _, r in got.iterrows():
+        t = docs_pdf.set_index("doc_id").loc[r["doc_id"], "text"]
+        toks = t.split()
+        # oracle counts ' w '-padded occurrences like the operator contract
+        padded = " " + t.lower() + " "
+        hits = sum(padded.count(f" {w} ") for w in TS.STOPWORDS_EN)
+        exp = hits / len(toks) if toks else 0.0
+        assert np.isclose(r["stopword_ratio"], exp), r["doc_id"]
+
+
+def test_lang_id(docs):
+    got = {
+        r["doc_id"]: r["lang_id"]
+        for r in TS.add_lang_id(docs).collect()
+    }
+    assert got[1] == "en" and got[4] == "de" and got[5] == "fr"
+    assert got[6] == "und"
+
+
+def test_fingerprint_md5_normalized(docs):
+    got = TS.add_fingerprint(docs).orderBy("doc_id").toPandas()
+    by_id = got.set_index("doc_id")["fingerprint"]
+    # whitespace-normalized dup shares the fingerprint with the original
+    assert by_id[1] == by_id[8] == by_id[2]
+    assert by_id[1] != by_id[3]
+    import hashlib
+    assert by_id[1] == hashlib.md5(_norm(DOCS[0][1]).encode()).hexdigest()
+
+
+def test_rolling_fingerprint_deterministic(docs):
+    a = TS.add_rolling_fingerprint(docs).orderBy("doc_id").toPandas()["rolling_fp"]
+    b = TS.add_rolling_fingerprint(docs).orderBy("doc_id").toPandas()["rolling_fp"]
+    assert (a == b).all()
+    assert a.nunique() > 1
+
+
+def test_quality_score_bounds(docs):
+    got = TS.add_quality_score(docs).toPandas()
+    assert ((got["quality_score"] >= 0) & (got["quality_score"] <= 1)).all()
+    by_id = got.set_index("doc_id")["quality_score"]
+    assert by_id[7] > by_id[6]  # real sentence beats empty text
+
+
+def test_text_profile_single_stage(docs):
+    """The whole JVM-side profile must stay one map stage (no shuffle)."""
+    prof = TS.text_profile(docs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert prof.count() == len(DOCS)
+
+
+# -- dedup ----------------------------------------------------------------------
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs).orderBy("doc_id").toPandas()
+    # 2 and 8 are (normalized-)exact dups of 1 → dropped
+    assert out["doc_id"].tolist() == [1, 3, 4, 5, 6, 7]
+
+
+def test_exact_dup_groups(docs):
+    pairs = {
+        (r["canonical_id"], r["dup_id"])
+        for r in D.exact_dup_groups(docs).collect()
+    }
+    assert pairs == {(1, 2), (1, 8)}
+
+
+def test_ngram_jaccard_pairs_match_oracle(docs, docs_pdf):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # oracle: exact jaccard on python shingle sets
+    exp = {}
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            a, b = DOCS[i], DOCS[j]
+            sa, sb = _shingleset(a[1]), _shingleset(b[1])
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.5:
+                exp[(a[0], b[0])] = jac
+    assert set(got) == set(exp)
+    for k in exp:
+        assert np.isclose(got[k], exp[k], atol=1e-6), k
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, k=32, bands=8, threshold=0.5).collect()
+    }
+    # exact/norm dups and the near-dup must be found
+    assert (1, 2) in got and (1, 8) in got and (2, 8) in got
+    assert (1, 3) in got  # near dup (1 char changed)
+    # unrelated docs must not pair
+    assert not any({4, 5, 7} & {a, b} and {1, 2, 3, 8} & {a, b} for a, b in got)
+
+
+def test_minhash_estimate_close_to_exact(docs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).collect()
+    }
+    sa, sb = _shingleset(DOCS[0][1]), _shingleset(DOCS[2][1])
+    exact = len(sa & sb) / len(sa | sb)
+    assert abs(est[(1, 3)] - exact) < 0.2  # 64-perm estimator tolerance
+
+
+def test_simhash_near_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0 and got.get((1, 8)) == 0
+    assert (1, 7) not in got
+
+
+def test_simhash_deterministic_across_runs(docs):
+    a = D.add_simhash(docs).orderBy("doc_id").toPandas()["simhash"]
+    b = D.add_simhash(docs).orderBy("doc_id").toPandas()["simhash"]
+    assert (a == b).all()
+
+
+# -- similarity -------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    base[13] = base[2] + rng.normal(scale=0.01, size=8)  # near-dup of 2
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(),
+        base,
+    )
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, base = vectors
+    queries = df.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = S.cosine_topk(df, queries, k=5).toPandas()
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for qid in got["query_id"].unique():
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        order = np.lexsort((np.arange(40), -np.round(sims[qid], 6)))[:5]
+        assert sub["vec_id"].tolist() == [int(x) for x in order]
+        assert np.allclose(
+            sub["cosine"].to_numpy(), np.round(sims[qid][order], 6), atol=2e-6
+        )
+
+
+def test_lsh_topk_recall(vectors):
+    df, base = vectors
+    queries = df.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk(df, queries, k=3).toPandas()
+    approx = S.lsh_topk(df, queries, k=3, n_planes=16, bands=8).toPandas()
+    # rank-1 self-hit must always survive LSH (identical signature)
+    ex1 = exact[exact["rank"] == 1].set_index("query_id")["vec_id"]
+    ap1 = approx[approx["rank"] == 1].set_index("query_id")["vec_id"]
+    assert (ex1 == ap1.loc[ex1.index]).all()
+    # overall recall@3 above 0.5 on this tiny set
+    ek = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    ak = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(ek & ak) / len(ek) >= 0.5
+
+
+def test_cosine_near_dup_pairs(vectors):
+    df, base = vectors
+    got = {
+        (r["id_a"], r["id_b"]) for r in S.cosine_near_dup_pairs(df, 0.95).collect()
+    }
+    assert (2, 13) in got
+
+
+# -- multimodal plumbing ------------------------------------------------------------
+
+def test_multimodal_image_plumbing(spark):
+    assets = MM.synthetic_assets(spark, n=16, kind="image").repartition(4, "asset_id")
+    feats = MM.decode_image_features(assets, fake=True)
+    pdf = feats.orderBy("asset_id").toPandas()
+    assert len(pdf) == 16
+    assert pdf["mean_intensity"].between(0, 255).all()
+    assert set(pdf.columns) == {
+        "asset_id", "width", "height", "n_bytes", "mean_intensity", "phash",
+    }
+    # deterministic across runs
+    pdf2 = MM.decode_image_features(assets, fake=True).orderBy("asset_id").toPandas()
+    assert (pdf["phash"] == pdf2["phash"]).all()
+
+
+def test_multimodal_real_path_raises(spark):
+    assets = MM.synthetic_assets(spark, n=2)
+    with pytest.raises(Exception) as ei:
+        MM.decode_image_features(assets, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_multimodal_video_explodes_rows(spark):
+    assets = MM.synthetic_assets(spark, n=4, kind="video")
+    frames = MM.sample_video_frames(assets, every_ms=250, fake=True)
+    pdf = frames.toPandas()
+    assert len(pdf) > 4  # 1→N explode
+    per = pdf.groupby("asset_id").size()
+    meta = assets.select("asset_id", "meta_duration_ms").toPandas().set_index("asset_id")
+    for aid, cnt in per.items():
+        assert cnt == len(range(0, int(meta.loc[aid, "meta_duration_ms"]), 250))
+
+
+def test_multimodal_audio_rms(spark):
+    assets = MM.synthetic_assets(spark, n=8, kind="audio")
+    pdf = MM.decode_audio_features(assets, fake=True).toPandas()
+    assert len(pdf) == 8
+    assert ((pdf["rms"] > 0) & (pdf["rms"] < 1)).all()
