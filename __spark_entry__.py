@@ -1,38 +1,691 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries map SURVEY.md §2 operators onto the driver's testdata tables:
+the windowed/as-of/sessionization suite runs over `events`
+(user_id≈conv_id, ts), text analysis + dedup over `documents`,
+similarity + bundles over `embeddings`, generic relational ops over
+`lineitem`/`orders`. Each query delegates to the feagen_spark library;
+oracle_sql() carries the exact ANSI-SQL twin for DuckDB.
+
+Conventions shared by both sides (see tools/crosscheck.py):
+- timestamps are emitted as epoch microseconds BIGINT
+  (spark unix_micros(cast ts) == duckdb epoch_us(ts), session TZ UTC)
+- double aggregates are rounded (4-6 dp) on BOTH sides
+- counts → BIGINT, ranks → INT, on both sides
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from feagen_spark.functions import windowed as W  # noqa: E402
+from feagen_spark.operators import dedup as D  # noqa: E402
+from feagen_spark.operators import similarity as S  # noqa: E402
+from feagen_spark.operators import textstats as TS  # noqa: E402
+from feagen_spark.operators import multimodal as MM  # noqa: E402
+from feagen_spark.operators.asof import asof_join  # noqa: E402
+
+SESSION_GAP_S = 1800
+EV_ORDER = ("ts", "event_id")  # unique per user → stable total order
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet NTZ → session-TZ(UTC) timestamp so unix_micros == epoch_us
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _us(col) -> F.Column:
+    return F.unix_micros(col)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed feature suite (C3-C10, C14)
+# ---------------------------------------------------------------------------
+
+def q_ev_lag_lead(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_lag_lead(ev, "user_id", EV_ORDER, "event_type", lags=(1,), leads=(1,))
+    ev = W.add_ts_delta(ev, "user_id", EV_ORDER, "ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("event_type_lag_1").alias("prev_event_type"),
+        F.col("event_type_lead_1").alias("next_event_type"),
+        F.round("ts_delta_prev_s", 6).alias("ts_delta_prev_s"),
+    )
+
+
+def q_ev_rolling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_rolling(
+        ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_last_10", last_n=10
+    )
+    ev = W.add_rolling(
+        ev, "user_id", EV_ORDER, F.sum("value"), "value_sum_last_10", last_n=10
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("n_last_10").cast("long").alias("n_last_10"),
+        F.round(F.coalesce("value_sum_last_10", F.lit(0.0)), 6).alias(
+            "value_sum_last_10"
+        ),
+    )
+
+
+def q_ev_rolling_600s(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_rolling_time(
+        ev, "user_id", "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_events_600s"), F.lit(0)).cast("long").alias(
+            "n_events_600s"
+        ),
+    )
+
+
+def q_ev_cumulative(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_so_far")
+    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.sum("value"), "cum_value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("n_so_far").cast("long").alias("n_so_far"),
+        F.round(F.coalesce("cum_value", F.lit(0.0)), 6).alias("cum_value"),
+    )
+
+
+def q_ev_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
+    return ev.select("event_id", "user_id", F.col("session_id").cast("int"))
+
+
+def q_ev_session_aggs(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
+    aggs = W.session_aggregates(
+        ev,
+        "user_id",
+        "ts",
+        extra_aggs=(F.round(F.sum("value"), 6).alias("session_value"),),
+    )
+    return aggs.select(
+        "user_id",
+        F.col("session_id").cast("int"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _us(F.col("session_start")).alias("session_start_us"),
+        _us(F.col("session_end")).alias("session_end_us"),
+        F.round("duration_s", 6).alias("duration_s"),
+        "session_value",
+    )
+
+
+def q_ev_asof_purchase_click(spark, sf_dir):
+    """For each purchase, the value of the user's latest strictly-prior
+    click — the C9 as-of join via the union+window operator."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        values=["click_value"],
+        strict=True,
+        right_order=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("last_click_value"),
+    )
+
+
+def q_ev_backfill_state(spark, sf_dir):
+    """As-of state snapshot at EVERY event (C10): latest strictly-prior
+    click/view values carried forward per user."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*EV_ORDER)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    view = F.last(
+        F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(click, 6).alias("last_click_value"),
+        F.round(view, 6).alias("last_view_value"),
+    )
+
+
+def q_ev_topk_per_user(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = W.top_k_per_key(
+        ev, "user_id", (F.col("value").desc(), F.col("event_id").asc()), k=3
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("value"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ev_type_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic relational ops (Catalyst-native: pushdown, join, agg)
+# ---------------------------------------------------------------------------
+
+def q_li_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_doc_profile(spark, sf_dir):
+    d = TS.text_profile(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("char_len").cast("long").alias("char_len"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("bpe_token_count").cast("long").alias("bpe_token_count"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+    )
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_doc_dup_audit(spark, sf_dir):
+    """Dedup audit: per lang, docs vs distinct normalized fingerprints."""
+    d = TS.add_fingerprint(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    )
+
+
+def q_doc_ngram_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity + bundle
+# ---------------------------------------------------------------------------
+
+def q_emb_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.cosine_topk(emb, q, k=5)
+
+
+def q_emb_bundle(spark, sf_dir):
+    """Bundle op (A9/C15): embedding ++ [l2_norm, label] as one
+    array<double>, elements rounded to 4dp on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.concat(
+            # + 0.0 normalizes IEEE -0.0 to 0.0 (matches the oracle)
+            F.transform("embedding", lambda x: F.round(x.cast("double"), 4) + 0.0),
+            F.array(F.round(norm, 4) + 0.0, F.col("label").cast("double")),
+        ).alias("features"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible: probabilistic sketches / UDF
+# plumbing — driver records row-count-only checks, by design)
+# ---------------------------------------------------------------------------
+
+def q_doc_minhash_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.5
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    return D.add_simhash(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.lsh_topk(emb, q, k=5, n_planes=16, bands=8)
+
+
+def q_mm_image_features(spark, sf_dir):
+    assets = MM.synthetic_assets(spark, n=64).repartition(8, "asset_id")
+    return MM.decode_image_features(assets, fake=True)
+
+
+def q_tr_golden_features(spark, sf_dir):
+    """Flagship transcript feature DAG over the synthetic transcript table
+    (BASELINE.json input_hint shape) — rows-only: transcripts are not a
+    driver oracle view."""
+    from feagen_spark.core.dag import FeatureDAG
+    from feagen_spark.core.engine import Engine
+    from feagen_spark.datagen.transcripts import transcripts
+    from feagen_spark.features.turns import transcript_nodes, transcript_templates
+
+    df = transcripts(spark, n_conv=300, giant_convs=3, giant_turns=2000)
+    dag = FeatureDAG(
+        nodes=transcript_nodes(),
+        templates=transcript_templates(),
+        input_columns=tuple(df.columns),
+    )
+    eng = Engine(dag, store=None)
+    out = eng.generate(
+        df,
+        [
+            "text_len", "is_tool_turn", "prev_role", "ts_delta_prev",
+            "turns_so_far", "user_turns_last_10", "tool_calls_last_10",
+            "tool_calls_last_600s", "session_id", "turn_in_session",
+        ],
+    )
+    return out.drop("text")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: as-of state backfill over sf0.001 events."""
+    return q_ev_backfill_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ev_lag_lead": q_ev_lag_lead,
+        "ev_rolling": q_ev_rolling,
+        "ev_rolling_600s": q_ev_rolling_600s,
+        "ev_cumulative": q_ev_cumulative,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_session_aggs": q_ev_session_aggs,
+        "ev_asof_purchase_click": q_ev_asof_purchase_click,
+        "ev_backfill_state": q_ev_backfill_state,
+        "ev_topk_per_user": q_ev_topk_per_user,
+        "ev_type_counts": q_ev_type_counts,
+        "li_pricing_summary": q_li_pricing_summary,
+        "join_revenue_by_priority": q_join_revenue_by_priority,
+        "doc_profile": q_doc_profile,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_dup_audit": q_doc_dup_audit,
+        "doc_ngram_pairs": q_doc_ngram_pairs,
+        "emb_topk": q_emb_topk,
+        "emb_bundle": q_emb_bundle,
+        # rows-only (no SQL oracle by design):
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "mm_image_features": q_mm_image_features,
+        "tr_golden_features": q_tr_golden_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOP_EN = TS.STOPWORDS_EN
+_LANGS = TS.LANG_MARKERS
+
+
+def _sql_hits(expr: str, words) -> str:
+    padded = f"(' ' || lower({expr}) || ' ')"
+    parts = [
+        f"((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2})"
+        for w in words
+    ]
+    return "CAST((" + " + ".join(parts) + ") AS INT)"
+
+
+def _sql_lang_id(expr: str) -> str:
+    scores = {
+        lang: _sql_hits(expr, words) for lang, words in _LANGS.items()
+    }
+    m = "greatest(" + ", ".join(scores[l] for l in sorted(scores)) + ")"
+    cases = " ".join(
+        f"WHEN {scores[l]} = __m THEN '{l}'" for l in sorted(scores)
+    )
+    return (
+        f"(SELECT CASE WHEN __m <= 0 THEN 'und' {cases} END "
+        f"FROM (SELECT {m} AS __m))"
+    )
+
+
+_TOKENS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ev_w = "PARTITION BY user_id ORDER BY ts, event_id"
+    sql = {}
+
+    sql["ev_lag_lead"] = f"""
+        SELECT event_id, user_id,
+               lag(event_type, 1) OVER ({ev_w}) AS prev_event_type,
+               lead(event_type, 1) OVER ({ev_w}) AS next_event_type,
+               round((epoch_us(ts) - lag(epoch_us(ts), 1) OVER ({ev_w})) / 1000000.0, 6)
+                   AS ts_delta_prev_s
+        FROM events
     """
-    return {}
+
+    sql["ev_rolling"] = f"""
+        SELECT event_id, user_id,
+               count(*) OVER ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS n_last_10,
+               round(coalesce(sum(value) OVER
+                   ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 0), 6)
+                   AS value_sum_last_10
+        FROM events
+    """
+
+    sql["ev_rolling_600s"] = """
+        SELECT event_id, user_id,
+               coalesce(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING), 0)
+                   AS n_events_600s
+        FROM events
+    """
+
+    sql["ev_cumulative"] = f"""
+        SELECT event_id, user_id,
+               count(*) OVER ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS n_so_far,
+               round(coalesce(sum(value) OVER
+                   ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+                   AS cum_value
+        FROM events
+    """
+
+    session_cte = f"""
+        WITH flagged AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER ({ev_w}) IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({ev_w})
+                             > {SESSION_GAP_S} * 1000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER ({ev_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                       AS session_id
+            FROM flagged
+        )
+    """
+
+    sql["ev_sessionize"] = session_cte + """
+        SELECT event_id, user_id, session_id FROM sessions
+    """
+
+    sql["ev_session_aggs"] = session_cte + """
+        SELECT user_id, session_id,
+               count(*) AS n_rows,
+               min(epoch_us(ts)) AS session_start_us,
+               max(epoch_us(ts)) AS session_end_us,
+               round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6)
+                   AS duration_s,
+               round(sum(value), 6) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """
+
+    sql["ev_asof_purchase_click"] = f"""
+        WITH st AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'click' THEN value END
+                       IGNORE NULLS) OVER ({ev_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_value
+            FROM events
+        )
+        SELECT user_id, event_id,
+               round(value, 6) AS purchase_value,
+               round(last_click_value, 6) AS last_click_value
+        FROM st WHERE event_type = 'purchase'
+    """
+
+    sql["ev_backfill_state"] = f"""
+        SELECT event_id, user_id,
+               round(last_value(CASE WHEN event_type = 'click' THEN value END
+                   IGNORE NULLS) OVER ({ev_w}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+                   AS last_click_value,
+               round(last_value(CASE WHEN event_type = 'view' THEN value END
+                   IGNORE NULLS) OVER ({ev_w}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+                   AS last_view_value
+        FROM events
+    """
+
+    sql["ev_topk_per_user"] = """
+        SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
+            SELECT user_id, event_id, value,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS INT) AS rank
+            FROM events
+        ) WHERE rank <= 3
+    """
+
+    sql["ev_type_counts"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY user_id
+    """
+
+    sql["li_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["join_revenue_by_priority"] = """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """
+
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    stop_hits = _sql_hits("text", _STOP_EN)
+    bpe = "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    mean_tok = f"CASE WHEN ({_TOKENS}) = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / ({_TOKENS}) END"
+    stop_ratio = (
+        f"CASE WHEN ({_TOKENS}) = 0 THEN 0.0 "
+        f"ELSE CAST({stop_hits} AS DOUBLE) / ({_TOKENS}) END"
+    )
+    punct_ratio = (
+        f"CASE WHEN length(text) = 0 THEN 0.0 "
+        f"ELSE CAST({punct} AS DOUBLE) / length(text) END"
+    )
+    quality = f"""
+        round(greatest(
+            (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN ({mean_tok}) >= 3 AND ({mean_tok}) <= 12 THEN 0.3 ELSE 0.0 END)
+            + least(({stop_ratio}) * 3, 0.2)
+            - least({punct_ratio}, 0.2),
+        0.0), 6)
+    """
+    sql["doc_profile"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS char_len,
+               CAST({_TOKENS} AS BIGINT) AS token_count,
+               {bpe} AS bpe_token_count,
+               round({punct_ratio}, 6) AS punct_ratio,
+               round({stop_ratio}, 6) AS stopword_ratio,
+               {quality} AS quality_score,
+               {_sql_lang_id("text")} AS lang_id,
+               md5({_NORM}) AS fingerprint
+        FROM documents
+    """
+
+    sql["doc_exact_dedup"] = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
+            FROM documents
+        ) WHERE doc_id = keeper
+    """
+
+    sql["doc_dup_audit"] = f"""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5({_NORM})) AS n_unique
+        FROM documents GROUP BY lang
+    """
+
+    sql["doc_ngram_pairs"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 5 = 0
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+                              i -> substr(t, CAST(i AS INT), 3))) AS shingle
+                FROM d
+            ) WHERE length(shingle) = 3
+        ), sz AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+        ) WHERE jaccard >= 0.5
+    """
+
+    sql["emb_topk"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.query_vec AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+    sql["emb_bundle"] = """
+        SELECT vec_id,
+               list_concat(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 4) + 0.0),
+                   [round(sqrt(list_aggregate(
+                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                        'sum')), 4) + 0.0,
+                    CAST(label AS DOUBLE)]
+               ) AS features
+        FROM embeddings
+    """
+
+    return sql

@@ -1,0 +1,166 @@
+"""Generic entity×time windowed feature functions (SURVEY.md §2.C),
+parameterized by (key, ordering, ts) so the same operators serve the
+transcript table, the driver's `events` table, or any entity stream.
+
+features/turns.py is the transcript-specialized profile of these
+primitives; this module is the reusable core used by __spark_entry__
+queries and external callers.
+
+All trailing frames end before the current row (leakage-safe), matching
+features/turns semantics. Every function is a single window over
+partitionBy(key) — Catalyst collapses same-spec windows, so chaining
+several of these still costs one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _w(key: str | Sequence[str], order: Sequence[str | Column]):
+    keys = [key] if isinstance(key, str) else list(key)
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+def add_lag_lead(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    col: str,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    prefix: str | None = None,
+) -> DataFrame:
+    w = _w(key, order)
+    p = prefix or col
+    for k in lags:
+        df = df.withColumn(f"{p}_lag_{k}", F.lag(col, k).over(w))
+    for k in leads:
+        df = df.withColumn(f"{p}_lead_{k}", F.lead(col, k).over(w))
+    return df
+
+
+def add_ts_delta(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    ts_col: str = "ts",
+    out: str = "ts_delta_prev_s",
+) -> DataFrame:
+    w = _w(key, order)
+    prev = F.lag(ts_col, 1).over(w)
+    return df.withColumn(
+        out,
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) / 1_000_000.0,
+    )
+
+
+def add_rolling(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    agg: Column,
+    out: str,
+    last_n: int,
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing row-frame aggregate over the previous ``last_n`` rows
+    (exclusive of the current row unless include_current)."""
+    hi = 0 if include_current else -1
+    lo = -last_n if include_current else -last_n
+    w = _w(key, order).rowsBetween(lo, hi)
+    return df.withColumn(out, agg.over(w))
+
+
+def add_rolling_time(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    agg: Column,
+    out: str,
+    last_seconds: int,
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing time-range aggregate over [ts - last_seconds, ts - 1µs]
+    (or ts inclusive). Equal-ts peers are excluded in the exclusive form."""
+    hi = 0 if include_current else -1
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-last_seconds * 1_000_000, hi)
+    )
+    return df.withColumn(out, agg.over(w))
+
+
+def add_cumulative(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    agg: Column,
+    out: str,
+    include_current: bool = False,
+) -> DataFrame:
+    hi = 0 if include_current else -1
+    w = _w(key, order).rowsBetween(Window.unboundedPreceding, hi)
+    return df.withColumn(out, agg.over(w))
+
+
+def add_session_id(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap sessionization (0-based per key): new session when the gap to
+    the previous row exceeds gap_s."""
+    w = _w(key, order)
+    prev = F.lag(ts_col, 1).over(w)
+    is_new = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev))
+            > gap_s * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    w_cum = _w(key, order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(is_new).over(w_cum).cast("int"))
+
+
+def session_aggregates(
+    df_with_sessions: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    return df_with_sessions.groupBy(*keys, session_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / 1_000_000.0
+        ).alias("duration_s"),
+        *extra_aggs,
+    )
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    out: str = "rank",
+) -> DataFrame:
+    """Deterministic top-k per key (pass fully-deterministic ordering)."""
+    w = _w(key, order)
+    return df.withColumn(out, F.row_number().over(w)).where(F.col(out) <= k)

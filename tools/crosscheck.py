@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__.queries() entry on Spark AND its oracle_sql() twin on
+DuckDB over the same sf dir; compare row count, column set, and
+order-insensitive values.
+
+Usage: python tools/crosscheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) and isinstance(
+            col.dropna().iloc[0] if col.notna().any() else None, (list, np.ndarray)
+        ):
+            df[c] = col.map(
+                lambda v: tuple(np.round(np.asarray(v, dtype=float), 6))
+                if v is not None
+                else None
+            )
+        elif col.dtype.kind == "f":
+            df[c] = col.round(6)
+        elif str(col.dtype).startswith("datetime"):
+            df[c] = col.astype("datetime64[us]")
+    df = df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(got) != len(exp):
+        problems.append(f"rows {len(got)} != {len(exp)}")
+    if sorted(got.columns) != sorted(exp.columns):
+        problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
+        return problems
+    g, e = canon(got), canon(exp)
+    if len(g) != len(e):
+        return problems
+    for c in g.columns:
+        gc, ec = g[c], e[c]
+        if gc.dtype.kind == "f" or ec.dtype.kind == "f":
+            gv = pd.to_numeric(gc, errors="coerce").astype(float).to_numpy()
+            ev = pd.to_numeric(ec, errors="coerce").astype(float).to_numpy()
+            ok = np.allclose(gv, ev, atol=1e-6, equal_nan=True)
+        else:
+            ok = (
+                gc.fillna("__n__").astype(str) == ec.fillna("__n__").astype(str)
+            ).all()
+        if not ok:
+            bad = None
+            try:
+                if gc.dtype.kind == "f":
+                    diffs = np.abs(gv - ev)
+                    i = int(np.nanargmax(diffs))
+                    bad = f"max diff {np.nanmax(diffs)} at row {i}: {gv[i]} vs {ev[i]}"
+                else:
+                    mism = gc.fillna("__n__").astype(str) != ec.fillna("__n__").astype(str)
+                    i = int(np.argmax(mism.to_numpy()))
+                    bad = f"row {i}: {gc.iloc[i]!r} vs {ec.iloc[i]!r}"
+            except Exception:
+                pass
+            problems.append(f"values differ in {c} ({bad})")
+    # dtype advisory (driver may compare schemas)
+    for c in g.columns:
+        if g[c].dtype != e[c].dtype:
+            problems.append(f"DTYPE-WARN {c}: spark={g[c].dtype} duck={e[c].dtype}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from feagen_spark.session import get_spark
+
+    spark = get_spark(app_name="crosscheck", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {str(ex).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(got)} rows")
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        problems = compare(name, got, exp)
+        hard = [p for p in problems if not p.startswith("DTYPE-WARN")]
+        status = "OK  " if not hard else "FAIL"
+        if hard:
+            failures += 1
+        print(f"{status} {name}: {len(got)} rows" + (f" | {problems}" if problems else ""))
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
