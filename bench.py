@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries from
+__spark_entry__ at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the transcript feature-DAG throughput
+(the north-rule metric, turns/sec), and print ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Scaling mode (north-rule two-cluster-size evidence, run by
+tools/bench_scaling.py): `--feature-dag-only --master local[N]` times
+just the transcript feature DAG on a pre-materialized parquet input so
+two parallelism levels see identical bytes.
+
+Timing uses a noop-format write: full evaluation of every output column
+with zero sink cost (a count() would let Catalyst skip the projections).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "ev_lag_lead",
+    "ev_rolling",
+    "ev_rolling_600s",
+    "ev_cumulative",
+    "ev_sessionize",
+    "ev_session_aggs",
+    "ev_asof_purchase_click",
+    "ev_backfill_state",
+    "ev_topk_per_user",
+    "ev_type_counts",
+    "li_pricing_summary",
+    "join_revenue_by_priority",
+    "doc_profile",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "emb_topk",
+    "emb_bundle",
+]
+
+GOLDEN_FEATURES = [
+    "text_len", "is_tool_turn", "prev_role", "ts_delta_prev",
+    "turns_so_far", "cum_tool_calls", "user_turns_last_10",
+    "tool_calls_last_10", "tool_calls_last_600s", "session_id",
+    "turn_in_session", "session_start_ts",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def materialize_transcripts(spark, path: str, n_conv: int, giant_turns: int) -> int:
+    from feagen_spark.datagen.transcripts import transcripts
+
+    # fixed 64-way layout regardless of the generating level: both
+    # parallelism levels must see identical bytes AND enough input splits
+    # that the scan stage is never the parallelism ceiling
+    df = transcripts(
+        spark, n_conv=n_conv, giant_convs=3, giant_turns=giant_turns,
+        partitions=64,
+    )
+    df.repartition(64, "conv_id").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def run_feature_dag(spark, input_path: str, repeats: int = 2) -> float:
+    """Time the full golden feature DAG over a parquet transcript table;
+    returns best of `repeats` runs (first run pays JVM/JIT warmup —
+    identical treatment at every parallelism level keeps scaling
+    comparisons fair)."""
+    from feagen_spark.core.dag import FeatureDAG
+    from feagen_spark.core.engine import Engine
+    from feagen_spark.features.turns import transcript_nodes, transcript_templates
+
+    df = spark.read.parquet(input_path)
+    dag = FeatureDAG(
+        nodes=transcript_nodes(),
+        templates=transcript_templates(),
+        input_columns=tuple(df.columns),
+    )
+    eng = Engine(dag, store=None)
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        out = eng.generate(df, GOLDEN_FEATURES)
+        # feature-snapshot output = keys + features (a snapshot table
+        # does not re-store the raw text payload)
+        out = out.select("conv_id", "turn_idx", "ts", *GOLDEN_FEATURES)
+        _noop_write(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--feature-dag-only", action="store_true")
+    ap.add_argument("--transcripts-path", default="/tmp/feagen_bench_transcripts")
+    ap.add_argument("--n-conv", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000")))
+    ap.add_argument("--giant-turns", type=int, default=30000)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    from feagen_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="feagen_bench",
+        master=args.master,
+        # big heap: 32 sort-heavy threads on an 8g heap spend their time
+        # in GC, which shows up as fake scaling loss
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+    )
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+
+    # transcript feature-DAG throughput (north-rule metric)
+    tp = args.transcripts_path
+    marker = Path(tp) / "_ROWS"
+    if not marker.exists():
+        rows = materialize_transcripts(spark, tp, args.n_conv, args.giant_turns)
+        marker.write_text(str(rows))
+    rows = int(marker.read_text())
+    dag_sec = run_feature_dag(spark, tp, repeats=args.repeats)
+    turns_per_sec = rows / dag_sec
+
+    result = {
+        "metric": "headline query wall time + transcript feature-DAG throughput",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "transcript_rows": rows,
+        "feature_dag_sec": round(dag_sec, 3),
+        "turns_per_sec": round(turns_per_sec, 1),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "queries": {},
+    }
+
+    if not args.feature_dag_only:
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        total = dag_sec
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _noop_write(qs[name](spark, args.sf_dir))
+            el = time.perf_counter() - t0
+            result["queries"][name] = round(el, 3)
+            total += el
+        result["queries"]["tr_feature_dag"] = round(dag_sec, 3)
+        result["value"] = round(total, 3)
+    else:
+        result["value"] = round(dag_sec, 3)
+        result["queries"]["tr_feature_dag"] = round(dag_sec, 3)
+
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        Path(args.json_out).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Skew handling for heavy-hitter keys (SURVEY.md §2.C C11).
+
+Two distinct problems, two tools:
+
+1. **Skewed aggregations/joins** — ``salted_agg`` does the classic
+   two-phase aggregate: partial agg on (key, salt) spreads a hot key
+   over N reducers, final agg merges. (Joins get AQE skew-split for
+   free: spark.sql.adaptive.skewJoin.enabled is on in session.py.)
+
+2. **Skewed windows** — Spark window functions CANNOT be salted (the
+   frame needs the whole partition), so a giant conversation pins one
+   task. For trailing frames with bounded reach we chunk the
+   conversation by its dense order column and duplicate a ``halo`` of
+   the previous chunk's tail rows into each chunk
+   (``chunked_trailing``): every row then sees its full lookback inside
+   its own (key, chunk) partition, halo rows are dropped after compute.
+   Parallelism becomes O(conv_len / chunk_size) instead of 1.
+   Unbounded frames (cumulative) are out of scope for halo-chunking by
+   construction — they need a chunk-prefix scan (two-pass); the engine
+   keeps those on the plain window path.
+
+The chunked path is a measured fallback for pathological conversations
+(engine threshold), not the default — for typical conversations the
+single-exchange window chain is faster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+# -- 1. salted aggregation -------------------------------------------------------
+
+def salted_agg(
+    df: DataFrame,
+    key: str | Sequence[str],
+    partial_aggs: Sequence[tuple[Column, str]],
+    merge_aggs: Callable[[str], Column] | None = None,
+    salt_n: int = 32,
+) -> DataFrame:
+    """Two-phase aggregate: groupBy(key, salt) → groupBy(key).
+
+    partial_aggs: (agg_column, out_name) computed per (key, salt);
+    merge_aggs(name) -> final merge column (default: sum — correct for
+    count/sum-style partials). Hot keys spread across salt_n reducers.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(n) for c, n in partial_aggs]
+    )
+    if merge_aggs is None:
+        merge_aggs = lambda n: F.sum(n).alias(n)  # noqa: E731
+    return partial.groupBy(*keys).agg(
+        *[merge_aggs(n) for _, n in partial_aggs]
+    )
+
+
+# -- 2. halo-chunked bounded trailing windows -------------------------------------
+
+@dataclass(frozen=True)
+class TrailingSpec:
+    """One bounded trailing feature: ``make(w)`` builds the column over a
+    per-(key, chunk) window; ``reach`` = how many preceding rows the
+    frame can touch (max lag k / last_n). reach must be <= halo."""
+
+    out: str
+    make: Callable[[WindowSpec], Column]
+    reach: int
+
+
+def plain_trailing(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    specs: Sequence[TrailingSpec],
+) -> DataFrame:
+    """Reference path: one window partition per key."""
+    w = Window.partitionBy(key).orderBy(order_col)
+    for s in specs:
+        df = df.withColumn(s.out, s.make(w))
+    return df
+
+
+def chunked_trailing(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    specs: Sequence[TrailingSpec],
+    chunk_size: int = 10_000,
+) -> DataFrame:
+    """Halo-chunked path, value-identical to ``plain_trailing`` for
+    bounded specs. Requires ``order_col`` dense 0..n-1 per key (true for
+    turn_idx — C14 guarantees it).
+
+    Rows land in chunk ``order/chunk_size``; the last ``halo`` rows of
+    each chunk are ALSO copied into the next chunk (flagged), windows
+    run per (key, chunk), halo copies are dropped.
+    """
+    halo = max(s.reach for s in specs)
+    if halo >= chunk_size:
+        raise ValueError(f"halo {halo} must be < chunk_size {chunk_size}")
+
+    o = F.col(order_col)
+    own = df.withColumn("__chunk", (o / chunk_size).cast("long")).withColumn(
+        "__halo", F.lit(False)
+    )
+    halo_rows = (
+        df.where((o % chunk_size) >= chunk_size - halo)
+        .withColumn("__chunk", (o / chunk_size).cast("long") + 1)
+        .withColumn("__halo", F.lit(True))
+    )
+    u = own.unionByName(halo_rows)
+    w = Window.partitionBy(key, "__chunk").orderBy(order_col)
+    for s in specs:
+        u = u.withColumn(s.out, s.make(w))
+    return u.where(~F.col("__halo")).drop("__chunk", "__halo")
+
+
+def auto_trailing(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    specs: Sequence[TrailingSpec],
+    giant_threshold: int = 100_000,
+    chunk_size: int = 10_000,
+) -> DataFrame:
+    """Route giant keys through the chunked path, everything else through
+    the plain single-window path, and union. One extra count-agg to find
+    the heavy hitters (cheap: map-side combine on the key)."""
+    sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    giants = sizes.where(F.col("__n") > giant_threshold).select(key)
+    g = df.join(F.broadcast(giants), on=key, how="left_semi")
+    rest = df.join(F.broadcast(giants), on=key, how="left_anti")
+    out_g = chunked_trailing(g, key, order_col, specs, chunk_size=chunk_size)
+    out_r = plain_trailing(rest, key, order_col, specs)
+    return out_r.unionByName(out_g)

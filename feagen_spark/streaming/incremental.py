@@ -1,0 +1,150 @@
+"""Structured Streaming upgrade path (SURVEY.md §2 disposition note):
+incremental feature refresh over a transcript stream.
+
+The north rule's workload is batch backfill; this module is the
+streaming counterpart for keeping feature snapshots fresh as new turns
+land: watermarked gap-sessionization via ``session_window`` (Spark's
+native analogue of our batch ts-gap sessionizer), sliding-window rolling
+counts, and an ``applyInPandasWithState`` custom stateful operator for
+running per-conversation counters (the streaming twin of the cumulative
+features).
+
+Boundary semantics note: ``session_window(ts, gap)`` starts a new
+session when the inter-event delta is >= gap, while the batch
+sessionizer (features/turns.add_session_id) uses strictly > gap; the
+two agree whenever deltas never hit the threshold exactly (true of the
+synthetic fixture, and of real μs timestamps in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source transcript stream (each new parquet file = new turns);
+    on a real deployment this is the Iceberg/Kafka source instead."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_session_aggs(
+    stream: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(conv, session) aggregates over a late-data-tolerant stream:
+    watermark bounds state; session_window merges turns with inter-turn
+    gaps < gap_s (C7/C8 streaming twin)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("conv_id"),
+            F.session_window("ts", f"{gap_s} seconds").alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("session_turns"),
+            F.sum((F.col("role") == "tool").cast("int")).cast("int").alias(
+                "session_tool_calls"
+            ),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "session_turns",
+            "session_tool_calls",
+        )
+    )
+
+
+def streaming_rolling_role_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window role counts per conversation (C5 streaming twin)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "conv_id",
+            F.window("ts", window, slide).alias("w"),
+            "role",
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            "role",
+            "n",
+        )
+    )
+
+
+def streaming_running_counters(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-conversation turn/tool counters emitted on every micro-batch
+    (the streaming twin of the cumulative C6 features).
+
+    NoTimeout: state is bounded by the conversation universe; a
+    production deployment that needs state eviction should switch to
+    EventTimeTimeout + a watermark (ProcessingTimeTimeout schedules
+    wall-clock timers that keep an availableNow drain alive — it never
+    terminates)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turns long, tool_calls long"
+    state_schema = "turns long, tool_calls long"
+
+    def update(key, pdfs, state: GroupState):
+        turns, tools = (state.get if state.exists else (0, 0))
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int((pdf["role"] == "tool").sum())
+        state.update((turns, tools))
+        yield pd.DataFrame(
+            [{"conv_id": key[0], "turns": turns, "tool_calls": tools}]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    query_df: DataFrame, name: str, checkpoint: str, output_mode: str = "update"
+):
+    """Drain everything currently available into an in-memory table and
+    stop — the batch-parity harness used by tests. session_window
+    aggregations need output_mode='complete' (append withholds
+    non-finalized sessions); applyInPandasWithState needs 'update'."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,134 @@
+"""spark-submit entrypoint (SURVEY.md §2.A A11, north rule: "run via
+spark-submit --py-files").
+
+    spark-submit --py-files dist/feagen_spark.zip jobs/run_features.py \
+        --config conf/run.yml
+
+feagen analogue (reconstructed — mount empty, SURVEY.md §0):
+feagen/tools/feagen_runner.py::feagen_run (~L15-80, unverified) reads
+.feagenrc/config.yml + bundle_config.yml, imports the generator class,
+runs generate() then bundle(). Here the config names the input table,
+requested features, checkpoint root and bundle structure; the run is
+resumable via the checkpoint manifest.
+
+Config YAML (flat key: value — parsed without a yaml dependency, which
+is not guaranteed in executors; a real deployment may swap in pyyaml):
+see conf/run.yml.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def load_config(path: str) -> dict:
+    """Minimal flat YAML subset: `key: value` lines, '#' comments,
+    python-literal values (lists/strings/ints)."""
+    cfg = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        v = v.strip()
+        try:
+            cfg[k.strip()] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            cfg[k.strip()] = v
+    return cfg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+
+    from pyspark.sql import SparkSession
+
+    from feagen_spark.core.dag import FeatureDAG
+    from feagen_spark.core.engine import Engine
+    from feagen_spark.features.turns import transcript_nodes, transcript_templates
+    from feagen_spark.store.checkpoint import CheckpointStore
+
+    # under spark-submit the session already carries cluster config
+    spark = SparkSession.builder.appName(
+        cfg.get("app_name", "feagen_spark_run")
+    ).getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    input_path = cfg["input_path"]
+    fmt = cfg.get("input_format", "parquet")
+    df = spark.read.format(fmt).load(input_path)
+    if "repartition_key" in cfg:
+        df = df.repartition(
+            int(cfg.get("repartition_n", spark.sparkContext.defaultParallelism * 2)),
+            cfg["repartition_key"],
+        )
+
+    ck_nodes = set(cfg.get("checkpoint_nodes", []))
+    nodes = []
+    for n in transcript_nodes():
+        if n.name in ck_nodes and not n.checkpoint:
+            from feagen_spark.core.spec import FeatureNode
+
+            n = FeatureNode(n.name, n.outputs, n.deps, n.fn, n.version, True)
+        nodes.append(n)
+    dag = FeatureDAG(
+        nodes=nodes,
+        templates=transcript_templates(),
+        input_columns=tuple(df.columns),
+    )
+    store = CheckpointStore(cfg["checkpoint_root"]) if cfg.get("checkpoint_root") else None
+    eng = Engine(
+        dag,
+        store=store,
+        keys=tuple(cfg.get("keys", ["conv_id", "turn_idx"])),
+        input_token=str(cfg.get("input_snapshot", input_path)),
+    )
+
+    features = cfg["features"]
+    executed, skipped = [], []
+    out = eng.generate(df, list(features))
+    executed += eng.last_run.executed
+    skipped += eng.last_run.skipped
+
+    if cfg.get("bundle_structure"):
+        structure = (
+            json.loads(cfg["bundle_structure"])
+            if isinstance(cfg["bundle_structure"], str)
+            else cfg["bundle_structure"]
+        )
+        out = eng.bundle(out, structure)
+        executed += eng.last_run.executed
+        skipped += eng.last_run.skipped
+
+    out_path = cfg["output_path"]
+    writer = out.write.mode(cfg.get("output_mode", "overwrite"))
+    if cfg.get("output_partition_by"):
+        writer = writer.partitionBy(cfg["output_partition_by"])
+    writer.format(cfg.get("output_format", "parquet")).save(out_path)
+
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "rows": spark.read.format(cfg.get("output_format", "parquet"))
+                .load(out_path)
+                .count(),
+                "executed": executed,
+                "skipped": skipped,
+                "output": out_path,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

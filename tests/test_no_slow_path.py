@@ -1,0 +1,47 @@
+"""Guardrail (SURVEY.md §7 hard part d, BASELINE.json:15 'no per-row
+Python'): the package must never use row-at-a-time Python UDFs or RDD
+transforms in operator code. Arrow-vectorized pandas UDFs /
+mapInPandas / applyInPandasWithState are the only allowed crossings."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "feagen_spark"
+
+FORBIDDEN = [
+    (re.compile(r"\bF\.udf\s*\("), "row-at-a-time F.udf"),
+    (re.compile(r"(?<!pandas_)\budf\s*\(\s*lambda"), "lambda udf"),
+    (re.compile(r"\.rdd\b"), "RDD access"),
+    (re.compile(r"\bflatMap\s*\("), "RDD flatMap"),
+    (re.compile(r"\bsc\.parallelize\b"), "sc.parallelize"),
+    (re.compile(r"\.collect\(\)\s*\)?\s*$\n?.*for\s", re.M), "driver-side loop over collect()"),
+]
+
+
+def test_no_slow_path_constructs():
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        text = py.read_text()
+        for rx, label in FORBIDDEN:
+            for m in rx.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(PKG.parent)}:{line} {label}")
+    assert not offenders, offenders
+
+
+def test_collect_only_in_allowed_places():
+    """collect()/first() pulls data to the driver — allowed only where a
+    scalar/summary is genuinely needed (store audit, dim sniffing)."""
+    allowed = {"store/checkpoint.py", "operators/similarity.py"}
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        rel = str(py.relative_to(PKG))
+        if rel in allowed:
+            continue
+        text = py.read_text()
+        for m in re.finditer(r"\.(collect|toPandas)\(\)", text):
+            line = text[: m.start()].count("\n") + 1
+            offenders.append(f"{rel}:{line}")
+    assert not offenders, offenders

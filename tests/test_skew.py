@@ -1,0 +1,115 @@
+"""Skew handling (C11): halo-chunked windows must be value-identical to
+plain windows; salted aggregation must match a direct groupBy."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feagen_spark.operators import skew as SK
+
+
+def _specs():
+    return [
+        SK.TrailingSpec(
+            "prev_role", lambda w: F.lag("role", 1).over(w), reach=1
+        ),
+        SK.TrailingSpec(
+            "user_last_10",
+            lambda w: F.coalesce(
+                F.sum((F.col("role") == "user").cast("int")).over(
+                    w.rowsBetween(-10, -1)
+                ),
+                F.lit(0),
+            ),
+            reach=10,
+        ),
+        SK.TrailingSpec(
+            "role_lag_25", lambda w: F.lag("role", 25).over(w), reach=25
+        ),
+    ]
+
+
+def _canon(df):
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .fillna("__null__")
+        .astype(str)
+    )
+
+
+def test_chunked_equals_plain(tiny_transcripts):
+    plain = SK.plain_trailing(tiny_transcripts, "conv_id", "turn_idx", _specs())
+    chunked = SK.chunked_trailing(
+        tiny_transcripts, "conv_id", "turn_idx", _specs(), chunk_size=64
+    )
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c)
+    for col in ["prev_role", "user_last_10", "role_lag_25"]:
+        assert (p[col] == c[col]).all(), col
+
+
+def test_auto_routes_and_matches(tiny_transcripts):
+    plain = SK.plain_trailing(tiny_transcripts, "conv_id", "turn_idx", _specs())
+    auto = SK.auto_trailing(
+        tiny_transcripts, "conv_id", "turn_idx", _specs(),
+        giant_threshold=100, chunk_size=64,  # giant conv (300 turns) chunks
+    )
+    p, a = _canon(plain), _canon(auto)
+    assert len(p) == len(a)
+    for col in ["prev_role", "user_last_10", "role_lag_25"]:
+        assert (p[col] == a[col]).all(), col
+
+
+def test_chunked_increases_parallelism(tiny_transcripts):
+    """The giant conv (300 turns) must split into multiple chunks."""
+    giant = tiny_transcripts.groupBy("conv_id").count().where("count >= 300")
+    gid = giant.first()["conv_id"]
+    df = tiny_transcripts.where(F.col("conv_id") == gid)
+    chunked = SK.chunked_trailing(df, "conv_id", "turn_idx", _specs(), chunk_size=64)
+    # recompute the chunk column the same way to count distinct chunks
+    n_chunks = df.select(
+        (F.col("turn_idx") / 64).cast("long").alias("c")
+    ).distinct().count()
+    assert n_chunks >= 4
+    assert chunked.count() == df.count()
+
+
+def test_halo_too_small_rejected(tiny_transcripts):
+    with pytest.raises(ValueError):
+        SK.chunked_trailing(
+            tiny_transcripts, "conv_id", "turn_idx", _specs(), chunk_size=20
+        )  # reach 25 >= chunk 20
+
+
+def test_salted_agg_matches_groupby(tiny_transcripts):
+    direct = (
+        tiny_transcripts.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    salted = (
+        SK.salted_agg(
+            tiny_transcripts,
+            "role",
+            [
+                (F.count(F.lit(1)), "n"),
+                (F.sum(F.length("text")), "chars"),
+            ],
+            salt_n=8,
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        direct, salted, check_dtype=False
+    )

@@ -1,0 +1,100 @@
+"""Structured Streaming parity: streaming sessionization / rolling /
+stateful counters must agree with their batch twins on a drained stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feagen_spark.streaming import incremental as INC
+from feagen_spark.features import turns as T
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tiny_transcripts, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    # two "arrival" files to force multiple micro-batch handling
+    tiny_transcripts.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "batch1"))
+    tiny_transcripts.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "batch1"))
+    return str(d / "batch1")
+
+
+def test_streaming_session_aggs_match_batch(spark, tiny_transcripts, stream_dir, tmp_path):
+    stream = INC.stream_transcripts(spark, stream_dir)
+    q = INC.run_available_now(
+        INC.streaming_session_aggs(stream, gap_s=1800),
+        "sess_aggs",
+        str(tmp_path / "ck1"),
+        output_mode="complete",
+    )
+    got = (
+        spark.table("sess_aggs")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("session_turns").alias("n_turns"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    exp = (
+        T.session_aggregates(T.add_session_id(tiny_transcripts))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("session_turns").alias("n_turns"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert (got["n_sessions"] == exp["n_sessions"]).all()
+    assert (got["n_turns"] == exp["n_turns"]).all()
+
+
+def test_streaming_running_counters_match_batch(spark, tiny_transcripts, stream_dir, tmp_path):
+    stream = INC.stream_transcripts(spark, stream_dir)
+    INC.run_available_now(
+        INC.streaming_running_counters(stream),
+        "run_counters",
+        str(tmp_path / "ck2"),
+    )
+    # final state per conv = last emitted row per conv (max turns)
+    got = (
+        spark.table("run_counters")
+        .groupBy("conv_id")
+        .agg(F.max("turns").alias("turns"), F.max("tool_calls").alias("tool_calls"))
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    exp = (
+        tiny_transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum((F.col("role") == "tool").cast("long")).alias("tool_calls"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert (got["turns"] == exp["turns"]).all()
+    assert (got["tool_calls"] == exp["tool_calls"]).all()
+
+
+def test_streaming_rolling_counts_runs(spark, stream_dir, tmp_path):
+    stream = INC.stream_transcripts(spark, stream_dir)
+    INC.run_available_now(
+        INC.streaming_rolling_role_counts(stream),
+        "roll_counts",
+        str(tmp_path / "ck3"),
+        output_mode="complete",
+    )
+    out = spark.table("roll_counts")
+    assert out.count() > 0
+    assert set(out.columns) == {"conv_id", "window_start", "role", "n"}
