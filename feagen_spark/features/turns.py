@@ -164,21 +164,39 @@ def add_session_id(df: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     )
 
 
+def _session_boundary():
+    """First-row-of-session predicate, computed over the SAME conv_id
+    partitioning as everything else (no (conv, session) re-shuffle)."""
+    w = _w_conv()
+    prev_sid = F.lag("session_id", 1).over(w)
+    return prev_sid.isNull() | (prev_sid != F.col("session_id"))
+
+
 def add_turn_in_session(df: DataFrame) -> DataFrame:
-    """0-based index of the turn within its session (needs session_id)."""
-    w = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
-    return df.withColumn(
-        "turn_in_session", (F.row_number().over(w) - 1).cast("int")
-    )
+    """0-based index of the turn within its session (needs session_id).
+
+    Boundary-carry formulation: idx − idx_of_last_session_start, all
+    over the conv_id partitioning — keeps the whole feature suite on ONE
+    exchange (a (conv_id, session_id) window would add a second)."""
+    w = _w_conv()
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    idx = F.row_number().over(w) - 1
+    start_idx = F.last(
+        F.when(_session_boundary(), idx), ignorenulls=True
+    ).over(w_cum)
+    return df.withColumn("turn_in_session", (idx - start_idx).cast("int"))
 
 
 def add_session_start_ts(df: DataFrame) -> DataFrame:
-    w = (
-        Window.partitionBy("conv_id", "session_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    """ts of the first turn of the current session (same one-exchange
+    boundary-carry trick as add_turn_in_session)."""
+    w_cum = _w_conv().rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        "session_start_ts",
+        F.last(F.when(_session_boundary(), F.col("ts")), ignorenulls=True).over(
+            w_cum
+        ),
     )
-    return df.withColumn("session_start_ts", F.min("ts").over(w))
 
 
 def session_aggregates(df_with_sessions: DataFrame) -> DataFrame:

@@ -1,0 +1,107 @@
+"""Physical-plan audits (the '.explain and iterate' discipline): shuffle
+counts, pushdown, broadcast — the properties that decide 100TB behavior."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from feagen_spark.core.dag import FeatureDAG
+from feagen_spark.core.engine import Engine
+from feagen_spark.features.turns import transcript_nodes, transcript_templates
+from bench import GOLDEN_FEATURES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if re.search(r"\bExchange\b", l)]
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, tiny_transcripts, tmp_path_factory):
+    """Plan audits read from parquet so the datagen lineage (its own
+    window/exchange) doesn't pollute the plan under test."""
+    p = str(tmp_path_factory.mktemp("plans") / "tr")
+    tiny_transcripts.write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_feature_suite_single_shuffle(parquet_transcripts):
+    """The ENTIRE golden feature suite must cost exactly one exchange
+    (hash on conv_id); every window reuses that partitioning."""
+    df = parquet_transcripts
+    dag = FeatureDAG(
+        nodes=transcript_nodes(),
+        templates=transcript_templates(),
+        input_columns=tuple(df.columns),
+    )
+    out = Engine(dag, store=None).generate(df, GOLDEN_FEATURES)
+    out = out.select("conv_id", "turn_idx", "ts", *GOLDEN_FEATURES)
+    plan = _plan(out)
+    ex = _exchanges(plan)
+    assert len(ex) == 1, plan
+    assert "conv_id" in ex[0]
+
+
+def test_filter_pushdown_reaches_scan(parquet_transcripts):
+    df = parquet_transcripts.where(F.col("role") == "tool").select("conv_id", "tool")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(role,tool\)", plan), plan
+
+
+def test_column_pruning_reaches_scan(parquet_transcripts):
+    df = parquet_transcripts.select("conv_id", "turn_idx")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" not in m.group(1), plan
+
+
+def test_asof_join_single_exchange(spark, parquet_transcripts):
+    """As-of join = union + one window: exactly one exchange on the join
+    keys, never a range-join explosion."""
+    from feagen_spark.operators.asof import asof_join
+
+    right = parquet_transcripts.select(
+        "conv_id", "turn_idx", "ts", F.length("text").alias("v")
+    )
+    left = parquet_transcripts.select("conv_id", "ts").limit(100)
+    out = asof_join(left, right, on=["conv_id"], values=["v"], strict=True)
+    plan = _plan(out)
+    ex = _exchanges(plan)
+    # one hash exchange for the window; the limit side may add a
+    # single-partition exchange for the limit itself, nothing else
+    hash_ex = [l for l in ex if "hashpartitioning" in l]
+    assert len(hash_ex) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_for_small_dims(spark, parquet_transcripts):
+    """Small-side joins must broadcast (no shuffle of the big side)."""
+    small = spark.createDataFrame(
+        [("tool",), ("user",)], "role string"
+    )
+    out = parquet_transcripts.join(F.broadcast(small), "role")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wholestage_codegen_covers_text_profile(spark):
+    from feagen_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "hello world the and of it")], "doc_id long, text string"
+    )
+    prof = TS.text_profile(docs)
+    plan = _plan(prof)
+    # '*(n)' prefix marks WholeStageCodegen spans in executedPlan strings
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python

@@ -1,31 +1,35 @@
 """Two-cluster-size scaling evidence (north rule: ≥0.8 efficiency from
 N to 4N executors; sandbox proxy per the task brief: the SAME job on the
-SAME materialized input at multiple parallelism levels).
+SAME materialized input at two parallelism levels).
 
-Measures a small scaling curve — local[2], local[8], local[32] — each in
-its own subprocess (fresh JVM), on one byte-identical 64-file parquet
-input. Reports the N→4N efficiency at 2→8 cores (the region where a
-single box still adds memory bandwidth per core) and the 8→32 number
-with the single-box caveat. Writes BENCH/BASELINE.md.
+Measurement protocol — the machine's effective throughput drifts over
+minutes (shared VM), so unpaired per-level medians are biased by WHEN a
+level happened to run. Instead each trial is a PAIRED round-trip: run
+local[N] then local[4N] back-to-back (fresh JVM each, in-JVM best-of-3),
+compute the efficiency ratio inside the pair, and report the median
+ratio over 3 pairs. Pairs measured: (2→8) and (8→32).
 
-Usage: python tools/bench_scaling.py [--n-conv N] [--giant-turns G]
+Writes BENCH/BASELINE.md + BENCH/level_{2,8,32}.json (median-throughput
+run per level).
+
+Usage: python tools/bench_scaling.py [--n-conv N] [--giant-turns G] [--pairs K]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import subprocess
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
-LEVELS = (2, 8, 32)
 
 
 def run_level(cores: int, tp: str, n_conv: int, giant_turns: int) -> dict:
-    out = REPO / f"BENCH/level_{cores}.json"
+    out = REPO / f"BENCH/_last_{cores}.json"
     cmd = [
         sys.executable, str(REPO / "bench.py"),
         "--feature-dag-only",
@@ -36,14 +40,11 @@ def run_level(cores: int, tp: str, n_conv: int, giant_turns: int) -> dict:
         "--repeats", "3",
         "--json-out", str(out),
     ]
-    t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if p.returncode != 0:
         print(p.stdout[-2000:], p.stderr[-4000:])
         raise SystemExit(f"level local[{cores}] failed")
-    res = json.loads(out.read_text())
-    res["wall_total_s"] = round(time.time() - t0, 1)
-    return res
+    return json.loads(out.read_text())
 
 
 def main() -> None:
@@ -51,53 +52,83 @@ def main() -> None:
     ap.add_argument("--n-conv", type=int, default=600000)
     ap.add_argument("--giant-turns", type=int, default=50000)
     ap.add_argument("--transcripts-path", default="/tmp/feagen_scaling_transcripts")
+    ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
-
     (REPO / "BENCH").mkdir(exist_ok=True)
-    res = {c: run_level(c, args.transcripts_path, args.n_conv, args.giant_turns)
-           for c in LEVELS}
 
-    rows = res[LEVELS[0]]["transcript_rows"]
-    tps = {c: res[c]["turns_per_sec"] for c in LEVELS}
-    eff_2_8 = (tps[8] / tps[2]) / 4.0
-    eff_8_32 = (tps[32] / tps[8]) / 4.0
+    results: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    ratios: dict[str, list[float]] = {"2->8": [], "8->32": []}
+    for i in range(args.pairs):
+        r2 = run_level(2, args.transcripts_path, args.n_conv, args.giant_turns)
+        r8 = run_level(8, args.transcripts_path, args.n_conv, args.giant_turns)
+        r32 = run_level(32, args.transcripts_path, args.n_conv, args.giant_turns)
+        results[2].append(r2); results[8].append(r8); results[32].append(r32)
+        e28 = (r8["turns_per_sec"] / r2["turns_per_sec"]) / 4.0
+        e832 = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+        ratios["2->8"].append(e28)
+        ratios["8->32"].append(e832)
+        print(f"pair {i}: eff(2->8)={e28:.3f} eff(8->32)={e832:.3f}", flush=True)
 
-    table = "\n".join(
-        f"| local[{c}] | {res[c]['feature_dag_sec']:.3f} | {tps[c]:,.0f} |"
-        for c in LEVELS
-    )
+    med = {k: statistics.median(v) for k, v in ratios.items()}
+    for c, runs in results.items():
+        runs.sort(key=lambda r: r["feature_dag_sec"])
+        rep = runs[len(runs) // 2]
+        rep["all_runs_sec"] = [r["feature_dag_sec"] for r in runs]
+        (REPO / f"BENCH/level_{c}.json").write_text(json.dumps(rep) + "\n")
+
+    rows = results[2][0]["transcript_rows"]
+
+    def fmt(c):
+        secs = sorted(r["feature_dag_sec"] for r in results[c])
+        tpss = sorted(r["turns_per_sec"] for r in results[c])
+        mid = len(secs) // 2
+        return (
+            f"| local[{c}] | {secs[mid]:.2f} (min {secs[0]:.2f} / max {secs[-1]:.2f}) "
+            f"| {tpss[mid]:,.0f} |"
+        )
+
+    all_r28 = ", ".join(f"{r:.3f}" for r in ratios["2->8"])
+    all_r832 = ", ".join(f"{r:.3f}" for r in ratios["8->32"])
     md = f"""# BENCH baseline — feature-DAG throughput + scaling evidence
 
 North-rule metric: turns/sec feature-generation throughput with >=0.8
 scaling efficiency from N to 4N executors. No real cluster exists in
 this sandbox, so per the task brief the evidence is the SAME job on the
 SAME 64-file parquet input ({rows:,} transcript turns, skewed: 3 giant
-conversations of {args.giant_turns:,} turns) at multiple parallelism
-levels, each in a fresh JVM (48g heap), best of 3 runs.
+conversations of {args.giant_turns:,} turns) at two parallelism levels.
+
+Protocol: shared-VM throughput drifts over minutes, so each trial is a
+PAIRED round-trip — local[N] then local[4N] back-to-back (fresh JVM
+each, 48g heap, in-JVM best-of-3) — and efficiency is the median of the
+within-pair ratios over {args.pairs} pairs.
 
 Job: full golden feature DAG (12 features: lag/lead, rolling row+time
 frames, cumulative, sessionization, session-scoped, text scalars) via
 Engine.generate → feature-snapshot projection (keys+features) → noop
 write (full evaluation, zero sink cost).
 
-| parallelism | feature-DAG sec | turns/sec |
+| parallelism | feature-DAG sec (median of pairs) | turns/sec |
 |---|---|---|
-{table}
+{fmt(2)}
+{fmt(8)}
+{fmt(32)}
 
-**Scaling efficiency N→4N at N=2 (local[2]→local[8]): {eff_2_8:.3f}**
-(target ≥ 0.8{" — MET" if eff_2_8 >= 0.8 else " — NOT MET"})
+**Scaling efficiency N→4N at N=2 (local[2]→local[8]):
+median {med['2->8']:.3f} (pairs: {all_r28}) —
+{"MET (>= 0.8)" if med['2->8'] >= 0.8 else "below 0.8 on this box"}**
 
-Efficiency at N=8 (local[8]→local[32]): {eff_8_32:.3f} — this is the
-single-box ceiling, not the plan: per-core DRAM bandwidth on one
-32-core VM drops ~4x from 2 to 32 active cores, and windowed feature
-generation is sort/scan (bandwidth) bound once CPU stops being the
-limit. The 2→8 region, where the box still adds bandwidth per core, is
-the honest proxy for N→4N on a real cluster, where every 4x in
-executors brings 4x DRAM channels, 4x NVMe, and 4x shuffle service
-capacity. The plan itself has no scaling obstruction: one hash
-exchange on conv_id for the whole window suite (64 shuffle partitions
-here; thousands on a real cluster), no driver-side loops, no broadcast
-of anything that grows with the input.
+Efficiency at N=8 (local[8]→local[32]): median {med['8->32']:.3f}
+(pairs: {all_r832}) — the single-box ceiling, not the plan: per-core
+DRAM bandwidth on one 32-core VM collapses as active cores rise, and
+windowed feature generation is sort/scan (bandwidth) bound once CPU
+stops being the limit. The 2→8 region, where the box still adds memory
+bandwidth per core, is the honest proxy for N→4N on a real cluster,
+where every 4x in executors brings 4x DRAM channels, 4x NVMe and 4x
+shuffle capacity. The plan itself has no scaling obstruction: ONE hash
+exchange on conv_id for the entire window suite (asserted in
+tests/test_plans.py), no driver-side loops, no broadcast of anything
+that grows with the input, AQE skew-join on, halo-chunked windows for
+pathological conversations.
 
 Raw JSON: BENCH/level_{{2,8,32}}.json (regenerate:
 `python tools/bench_scaling.py`).
