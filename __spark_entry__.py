@@ -321,8 +321,12 @@ def q_emb_bundle(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_doc_minhash_pairs(spark, sf_dir):
+    # near-dup operating point τ=0.8; max_bucket bounds the candidate
+    # join against the corpus's giant template clusters (one B-member
+    # bucket otherwise yields B² candidates)
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.5
+        _t(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.8,
+        max_bucket=200,
     )
 
 
