@@ -71,10 +71,11 @@ def add_char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _stopword_hits(col, words) -> F.Column:
-    """Occurrences of ' w ' padded markers (cheap, pushdown-friendly —
-    identical formula in the DuckDB oracle)."""
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+def _hits_on_padded(padded, words) -> F.Column:
+    """Occurrences of ' w ' markers on an ALREADY-padded lowercase column
+    (identical formula in the DuckDB oracle). Callers must materialize
+    the padded string once per row — inlining the concat/lower here
+    would re-evaluate it once per word (the shingles-lambda lesson)."""
     total = F.lit(0)
     for w in words:
         marker = f" {w} "
@@ -85,13 +86,29 @@ def _stopword_hits(col, words) -> F.Column:
     return total.cast("int")
 
 
-def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
-    hits = _stopword_hits(F.col(text_col), STOPWORDS_EN)
-    toks = _token_count(F.col(text_col))
+def _with_padded(df: DataFrame, text_col: str):
     return df.withColumn(
+        "__padded", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    )
+
+
+def _stopword_hits(col, words) -> F.Column:
+    """One-off form (builds the padded string inline); prefer
+    _hits_on_padded + _with_padded in multi-word pipelines."""
+    return _hits_on_padded(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), words)
+
+
+def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    had_padded = "__padded" in df.columns
+    if not had_padded:
+        df = _with_padded(df, text_col)
+    hits = _hits_on_padded(F.col("__padded"), STOPWORDS_EN)
+    toks = _token_count(F.col(text_col))
+    df = df.withColumn(
         "stopword_ratio",
         F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks),
     )
+    return df if had_padded else df.drop("__padded")
 
 
 def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,8 +140,11 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword heuristic language ID over a fixed 4-language
     marker set; 'und' (undetermined) when no marker hits."""
+    had_padded = "__padded" in df.columns
+    if not had_padded:
+        df = _with_padded(df, text_col)
     scores = {
-        lang: _stopword_hits(F.col(text_col), words)
+        lang: _hits_on_padded(F.col("__padded"), words)
         for lang, words in LANG_MARKERS.items()
     }
     best = F.lit("und")
@@ -134,7 +154,8 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = scores[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return df.withColumn("lang_id", best)
+    df = df.withColumn("lang_id", best)
+    return df if had_padded else df.drop("__padded")
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -171,7 +192,10 @@ def add_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All JVM-side text features in one pass (single projection, no
-    shuffle — this is a map-only stage at any scale)."""
+    shuffle — this is a map-only stage at any scale). The padded
+    lowercase text is materialized once and shared by every
+    marker-counting feature."""
+    df = _with_padded(df, text_col)
     df = add_char_stats(df, text_col)
     df = add_token_count(df, text_col)
     df = add_bpe_ish_token_count(df, text_col)
@@ -179,4 +203,4 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = add_quality_score(df, text_col)
     df = add_lang_id(df, text_col)
     df = add_fingerprint(df, text_col)
-    return df
+    return df.drop("__padded")
