@@ -209,9 +209,76 @@ def q_ev_type_counts(spark, sf_dir):
     )
 
 
+def q_ev_asof_inclusive(spark, sf_dir):
+    """Inclusive (<=) as-of variant: snapshot AT the label instant is
+    admissible — the opt-in semantics of asof_join(strict=False)."""
+    ev = _events(spark, sf_dir)
+    labels = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    snaps = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"), "event_id"
+    )
+    out = asof_join(
+        labels, snaps, on=["user_id"], values=["view_value"],
+        strict=False, right_order=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("view_value", 6).alias("last_view_value"),
+    )
+
+
+def q_ev_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event_type count matrix (fixed vocabulary)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
+
+
+def q_ev_value_median(spark, sf_dir):
+    """Exact interpolated median + p90 per event_type (percentile ==
+    DuckDB quantile_cont)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # generic relational ops (Catalyst-native: pushdown, join, agg)
 # ---------------------------------------------------------------------------
+
+
+def q_li_rollup(spark, sf_dir):
+    """ROLLUP aggregation over (returnflag, linestatus) with grouping
+    flags — multi-level aggregate coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
 
 def q_li_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -393,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
         "ev_type_counts": q_ev_type_counts,
+        "ev_asof_inclusive": q_ev_asof_inclusive,
+        "ev_pivot_counts": q_ev_pivot_counts,
+        "ev_value_median": q_ev_value_median,
+        "li_rollup": q_li_rollup,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
         "doc_profile": q_doc_profile,
@@ -567,6 +638,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY user_id
+    """
+
+    sql["ev_asof_inclusive"] = f"""
+        WITH st AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'view' THEN value END
+                       IGNORE NULLS) OVER ({ev_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lv
+            FROM events
+        )
+        SELECT user_id, event_id, round(lv, 6) AS last_view_value
+        FROM st WHERE event_type = 'signup'
+    """
+
+    sql["ev_pivot_counts"] = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY user_id
+    """
+
+    sql["ev_value_median"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS median_value,
+               round(quantile_cont(value, 0.9), 6) AS p90_value,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    sql["li_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
     sql["li_pricing_summary"] = """
