@@ -38,6 +38,10 @@ HEADLINE = [
     "ev_backfill_state",
     "ev_topk_per_user",
     "ev_type_counts",
+    "ev_asof_inclusive",
+    "ev_pivot_counts",
+    "ev_value_median",
+    "li_rollup",
     "li_pricing_summary",
     "join_revenue_by_priority",
     "doc_profile",
