@@ -1,0 +1,64 @@
+"""Data-level incremental feature refresh (batch counterpart of
+streaming/incremental.py; complements the engine's node-level
+skip-if-exists resume).
+
+Window features need the FULL conversation history, so the correct
+incremental unit is the conversation, not the row: when a batch of new
+turns lands, only the touched conversations' feature rows change.
+
+``refresh_conversations`` recomputes exactly those conversations and
+returns (updated_feature_rows, affected_conv_ids). At 100TB the flow
+is: append new turns to the transcript table → semi-join the table on
+the (small, broadcast) affected-conv set → run the feature DAG on that
+slice → dynamic-partition-overwrite the feature snapshot table for
+those conversations. The cost is O(touched conversations), not O(table).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def affected_conversations(new_turns: DataFrame, key: str = "conv_id") -> DataFrame:
+    return new_turns.select(key).distinct()
+
+
+def refresh_conversations(
+    engine,
+    full_table: DataFrame,
+    new_turns: DataFrame,
+    requested: Sequence[str],
+    key: str = "conv_id",
+) -> DataFrame:
+    """Recompute the requested features for exactly the conversations
+    touched by ``new_turns`` (which must already be part of
+    ``full_table``). Returns the refreshed feature rows for those
+    conversations — correct against a full recompute because each
+    conversation is featurized from its complete history."""
+    affected = affected_conversations(new_turns, key=key)
+    slice_df = full_table.join(F.broadcast(affected), on=key, how="left_semi")
+    return engine.generate(slice_df, list(requested))
+
+
+def write_refresh(
+    refreshed: DataFrame,
+    snapshot_path: str,
+    key: str = "conv_id",
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite of the refreshed conversations into a
+    key-partitioned snapshot table (only touched partitions rewritten)."""
+    spark = refreshed.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            refreshed.write.mode("overwrite")
+            .partitionBy(key)
+            .format(fmt)
+            .save(snapshot_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
