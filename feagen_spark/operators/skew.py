@@ -130,12 +130,25 @@ def auto_trailing(
     specs: Sequence[TrailingSpec],
     giant_threshold: int = 100_000,
     chunk_size: int = 10_000,
+    giants: DataFrame | Sequence[str] | None = None,
 ) -> DataFrame:
     """Route giant keys through the chunked path, everything else through
-    the plain single-window path, and union. One extra count-agg to find
-    the heavy hitters (cheap: map-side combine on the key)."""
-    sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
-    giants = sizes.where(F.col("__n") > giant_threshold).select(key)
+    the plain single-window path, and union.
+
+    Pass ``giants`` when the heavy hitters are already known (checkpoint
+    manifest metrics, table statistics, yesterday's run) — the
+    detection count-scan is then skipped entirely, which matters: on a
+    98%-skewed 2M-turn input the detection pass costs more than the
+    chunked window itself (BENCH/SKEW.md)."""
+    if giants is None:
+        sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        giants = sizes.where(F.col("__n") > giant_threshold).select(key)
+    elif not isinstance(giants, DataFrame):
+        giants = df.sparkSession.createDataFrame(
+            [(g,) for g in giants], f"{key} string"
+        )
+    else:
+        giants = giants.select(key)
     g = df.join(F.broadcast(giants), on=key, how="left_semi")
     rest = df.join(F.broadcast(giants), on=key, how="left_anti")
     out_g = chunked_trailing(g, key, order_col, specs, chunk_size=chunk_size)
