@@ -123,6 +123,94 @@ def chunked_trailing(
     return u.where(~F.col("__halo")).drop("__chunk", "__halo")
 
 
+@dataclass(frozen=True)
+class CumulativeSpec:
+    """One unbounded-frame cumulative feature: running aggregate of
+    ``value`` (a Column expression) up to the previous row
+    (include_current=False, the leakage-safe default) or current row."""
+
+    out: str
+    value: Column
+    include_current: bool = False
+
+
+def chunked_cumulative(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    specs: Sequence[CumulativeSpec],
+    chunk_size: int = 10_000,
+) -> DataFrame:
+    """Two-pass cumulative for giant keys (closes the halo-chunking gap:
+    unbounded frames can't use a bounded halo).
+
+    Pass 1: within-chunk running sums over (key, chunk) partitions —
+    parallelism O(rows/chunk_size). Pass 2: per-chunk totals (one row
+    per chunk) prefix-summed over a tiny window, broadcast-joined back.
+    cum = prefix_of_previous_chunks + within_chunk_running.
+
+    Requires ``order_col`` dense 0..n-1 per key (C14 guarantees it).
+    Value-identical to a plain unbounded window (tests/test_skew.py).
+    """
+    o = F.col(order_col)
+    d = df.withColumn("__chunk", (o / chunk_size).cast("long"))
+
+    w_in = Window.partitionBy(key, "__chunk").orderBy(order_col)
+    for s in specs:
+        hi = 0 if s.include_current else -1
+        d = d.withColumn(
+            f"__in_{s.out}",
+            F.coalesce(
+                F.sum(s.value).over(
+                    w_in.rowsBetween(Window.unboundedPreceding, hi)
+                ),
+                F.lit(0),
+            ),
+        )
+
+    totals = d.groupBy(key, "__chunk").agg(
+        *[F.sum(s.value).alias(f"__tot_{s.out}") for s in specs]
+    )
+    w_pfx = (
+        Window.partitionBy(key)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        key,
+        "__chunk",
+        *[
+            F.coalesce(F.sum(f"__tot_{s.out}").over(w_pfx), F.lit(0)).alias(
+                f"__pfx_{s.out}"
+            )
+            for s in specs
+        ],
+    )
+    d = d.join(F.broadcast(prefixes), on=[key, "__chunk"], how="left")
+    for s in specs:
+        d = d.withColumn(
+            s.out, F.col(f"__pfx_{s.out}") + F.col(f"__in_{s.out}")
+        ).drop(f"__in_{s.out}", f"__pfx_{s.out}")
+    return d.drop("__chunk")
+
+
+def plain_cumulative(
+    df: DataFrame, key: str, order_col: str, specs: Sequence[CumulativeSpec]
+) -> DataFrame:
+    """Reference path: one unbounded window partition per key."""
+    w = Window.partitionBy(key).orderBy(order_col)
+    for s in specs:
+        hi = 0 if s.include_current else -1
+        df = df.withColumn(
+            s.out,
+            F.coalesce(
+                F.sum(s.value).over(w.rowsBetween(Window.unboundedPreceding, hi)),
+                F.lit(0),
+            ),
+        )
+    return df
+
+
 def auto_trailing(
     df: DataFrame,
     key: str,

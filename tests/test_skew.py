@@ -113,3 +113,21 @@ def test_salted_agg_matches_groupby(tiny_transcripts):
     pd.testing.assert_frame_equal(
         direct, salted, check_dtype=False
     )
+
+
+def test_chunked_cumulative_equals_plain(tiny_transcripts):
+    specs = [
+        SK.CumulativeSpec("cum_turns", F.lit(1)),
+        SK.CumulativeSpec("cum_tools", (F.col("role") == "tool").cast("int")),
+        SK.CumulativeSpec(
+            "cum_chars_incl", F.length("text"), include_current=True
+        ),
+    ]
+    plain = SK.plain_cumulative(tiny_transcripts, "conv_id", "turn_idx", specs)
+    chunked = SK.chunked_cumulative(
+        tiny_transcripts, "conv_id", "turn_idx", specs, chunk_size=64
+    )
+    p, c = _canon(plain), _canon(chunked)
+    assert len(p) == len(c)
+    for col in ["cum_turns", "cum_tools", "cum_chars_incl"]:
+        assert (p[col] == c[col]).all(), col
