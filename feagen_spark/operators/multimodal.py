@@ -158,6 +158,42 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta_width int, meta_height int, meta_sample_rate int, meta_duration_ms int"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Resize: payload in → payload out with new dims (1→1 mapInPandas,
+    output schema == asset schema so resize composes with decode/frame
+    ops). Real path needs an image codec (stubbed); the fake path
+    re-derives a deterministic payload of the target pixel count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "pass fake=True for the deterministic stub resizer"
+                )
+            out = pdf.copy()
+            out["payload"] = [
+                _fake_decode_bytes(bytes(p), width * height).tobytes()
+                for p in pdf["payload"]
+            ]
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out[[
+                "asset_id", "kind", "payload", "meta_width", "meta_height",
+                "meta_sample_rate", "meta_duration_ms",
+            ]]
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 250, fake: bool = False
 ) -> DataFrame:

@@ -285,3 +285,16 @@ def test_multimodal_audio_rms(spark):
     pdf = MM.decode_audio_features(assets, fake=True).toPandas()
     assert len(pdf) == 8
     assert ((pdf["rms"] > 0) & (pdf["rms"] < 1)).all()
+
+
+def test_multimodal_resize_composes_with_decode(spark):
+    assets = MM.synthetic_assets(spark, n=6, kind="image")
+    resized = MM.resize_images(assets, width=16, height=16, fake=True)
+    feats = MM.decode_image_features(resized, fake=True).orderBy("asset_id").toPandas()
+    assert (feats["width"] == 16).all() and (feats["height"] == 16).all()
+    assert (feats["n_bytes"] == 16 * 16).all()
+    # resize output is deterministic
+    again = MM.decode_image_features(
+        MM.resize_images(assets, width=16, height=16, fake=True), fake=True
+    ).orderBy("asset_id").toPandas()
+    assert (feats["phash"] == again["phash"]).all()
