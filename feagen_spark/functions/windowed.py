@@ -67,10 +67,11 @@ def add_rolling(
     last_n: int,
     include_current: bool = False,
 ) -> DataFrame:
-    """Trailing row-frame aggregate over the previous ``last_n`` rows
-    (exclusive of the current row unless include_current)."""
+    """Trailing row-frame aggregate over a frame of ``last_n`` rows:
+    the previous last_n rows (exclusive, the leakage-safe default) or
+    the previous last_n-1 plus the current row (include_current)."""
     hi = 0 if include_current else -1
-    lo = -last_n if include_current else -last_n
+    lo = -(last_n - 1) if include_current else -last_n
     w = _w(key, order).rowsBetween(lo, hi)
     return df.withColumn(out, agg.over(w))
 

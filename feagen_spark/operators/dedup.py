@@ -10,8 +10,8 @@ Scale design (the point of each choice):
   that occur in more than N docs (stopword-shingles are what blow this
   up at scale — same trick as common-token filtering in SpGFF/ANN
   literature). Ground truth for the probabilistic variants below.
-- ``minhash_lsh_pairs``: MinHash signatures (k seeded xxhash64 mins,
-  computed in ONE groupBy over exploded shingles), banded LSH bucket
+- ``minhash_lsh_pairs``: MinHash signatures (k Kirsch-Mitzenmacher mins
+  from ONE xxhash64 per shingle, computed in ONE groupBy), banded LSH bucket
   join so candidate generation never compares all pairs; candidates are
   then verified by signature-estimated Jaccard. This is the 100TB path:
   cost is linear in corpus + bucket collisions.
@@ -148,6 +148,9 @@ def ngram_jaccard_pairs(
 
 # -- MinHash + LSH ---------------------------------------------------------------
 
+_MH_MASK = 0xFFFFFFFF  # 32-bit universe for Kirsch-Mitzenmacher hashes
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 32,
@@ -157,10 +160,25 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """k-permutation MinHash: ONE groupBy over exploded shingles; the k
-    mins are computed as k map-side-combinable aggregates (no UDF)."""
+    mins are computed as k map-side-combinable aggregates (no UDF).
+
+    Kirsch-Mitzenmacher: instead of k independent xxhash64 calls per
+    shingle (k× the hashing cost), hash each shingle ONCE and derive the
+    k functions as g_i = (h1 + i*h2) mod 2^32 from the two 32-bit halves
+    — same LSH guarantees (pairwise-independent family), ~k× less
+    hashing. Arithmetic stays within int64 (max ≈ 2^37), safe under
+    ANSI overflow checking."""
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    base = F.xxhash64(F.lit(seed), F.col("shingle"))
+    sh = sh.select(
+        id_col,
+        F.shiftrightunsigned(base, 32).alias("__h1"),
+        base.bitwiseAND(F.lit(_MH_MASK)).alias("__h2"),
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(
+            (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(F.lit(_MH_MASK))
+        ).alias(f"mh_{i}")
         for i in range(k)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -197,10 +215,16 @@ def minhash_lsh_pairs(
         raise ValueError("k must be divisible by bands")
     r = k // bands
     sig = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed)
-    sig = sig.persist()
 
+    # carry the signature THROUGH the band explode: the candidate join then
+    # yields (sig_a, sig_b) directly — no join-back to the signature frame,
+    # so nothing needs persisting (a leaked .persist() here pins cached
+    # partitions for the life of a long-running session). Shuffle payload
+    # grows by k longs per band row; for k=32/bands=8 that's ~2KB per doc,
+    # far cheaper than re-running the signature shuffle twice.
     band_rows = sig.select(
         id_col,
+        "signature",
         F.posexplode(
             F.array(
                 *[
@@ -228,16 +252,15 @@ def minhash_lsh_pairs(
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        cands.withColumn(
             "est_jaccard",
             F.round(
                 F.size(

@@ -2,12 +2,18 @@
 ``binary`` columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, Arrow
-batch shape — is real and tested. The actual media DECODE step is
-STUBBED: the image/audio codec libraries are not in this container, so
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake derives
-"decoded" properties from the payload bytes (stable across runs, good
-enough to exercise batching/partitioning/schema end-to-end).
+batch shape — is real and tested. Codec policy, per modality:
+
+- image: real path auto-detected via optional-import PIL (absent in this
+  container → falls back to raising unless ``fake=True``);
+- audio: REAL decode for WAV payloads via the stdlib ``wave`` module
+  (no external dependency — tested in-sandbox); other containers need
+  soundfile/librosa;
+- video: STUBBED (no stdlib codec; real path needs PyAV/opencv).
+
+``fake=True`` always selects a clearly-marked deterministic fake that
+derives "decoded" properties from the payload bytes (stable across
+runs, good enough to exercise batching/partitioning/schema end-to-end).
 
 Pattern: ``mapInPandas`` — per-partition Arrow batch iterator, the right
 shape for byte-heavy decode at scale (no per-row Python, payloads never
@@ -64,6 +70,26 @@ def synthetic_assets(spark, n: int = 64, kind: str = "image") -> DataFrame:
     )
 
 
+def _pil():
+    """Optional-import image codec: returns PIL.Image or None. Executors
+    resolve this per-batch, so a cluster with Pillow installed upgrades
+    to real decode with no code change."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash over an 8x9 grayscale grid (standard
+    perceptual dHash: bit = left pixel brighter than right neighbor)."""
+    bits = (gray[:, 1:] > gray[:, :-1]).ravel()[:64]
+    weights = 1 << np.arange(bits.size, dtype=np.uint64)
+    return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))
+
+
 def _fake_decode_bytes(payload: bytes, n_vals: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: derive n_vals uint8 'samples' from the
     payload via blake2b expansion. Stands in for a real codec."""
@@ -82,23 +108,45 @@ def _fake_decode_bytes(payload: bytes, n_vals: int) -> np.ndarray:
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature extraction over Arrow batches.
 
-    Real path requires an image codec (PIL/opencv — NOT in this
-    container): raises NotImplementedError. fake=True exercises the full
-    distributed plumbing with the deterministic fake decoder.
+    Real path auto-upgrades when PIL is importable on the executor
+    (decode → grayscale → mean intensity + 64-bit dHash); without a
+    codec it raises NotImplementedError unless fake=True, which
+    exercises the full distributed plumbing with the deterministic fake
+    decoder.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _pil()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
-                    "image codec not available in this environment; "
+                    "image codec not available in this environment "
+                    "(optional dependency PIL not importable); "
                     "pass fake=True for the deterministic stub decoder"
                 )
             rows = []
             for aid, payload, w, h in zip(
                 pdf["asset_id"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]
             ):
-                px = _fake_decode_bytes(bytes(payload), int(w) * int(h))
+                if fake:
+                    px = _fake_decode_bytes(bytes(payload), int(w) * int(h))
+                    phash = int(
+                        np.int64(
+                            int.from_bytes(
+                                hashlib.blake2b(px.tobytes(), digest_size=8).digest(),
+                                "big",
+                                signed=True,
+                            )
+                        )
+                    )
+                else:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+                    w, h = img.size
+                    px = np.asarray(img, dtype=np.uint8).ravel()
+                    grid = np.asarray(img.resize((9, 8)), dtype=np.int16)
+                    phash = _dhash64(grid)
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -106,15 +154,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         "height": int(h),
                         "n_bytes": len(payload),
                         "mean_intensity": float(px.mean()),
-                        "phash": int(
-                            np.int64(
-                                int.from_bytes(
-                                    hashlib.blake2b(px.tobytes(), digest_size=8).digest(),
-                                    "big",
-                                    signed=True,
-                                )
-                            )
-                        ),
+                        "phash": phash,
                     }
                 )
             yield pd.DataFrame(rows, columns=[
@@ -124,24 +164,54 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode for WAV containers via the stdlib ``wave``
+    module (no external dependency): returns (sample_rate, duration_ms,
+    float64 samples in [-1, 1], first channel). Compressed formats need
+    an optional codec (soundfile/librosa) on the executor."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        n_ch = w.getnchannels()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # unsigned 8-bit PCM
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    samples = samples[::n_ch]  # first channel
+    duration_ms = int(round(n_frames * 1000.0 / sr)) if sr else 0
+    return sr, duration_ms, samples
+
+
 def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Audio decode + RMS feature; stubbed like decode_image_features."""
+    """Audio decode + RMS feature. Real path decodes WAV payloads with
+    the stdlib ``wave`` module (sample_rate/duration read from the
+    container, not the metadata columns); fake=True uses the
+    deterministic stub decoder."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codec not available in this environment; "
-                    "pass fake=True for the deterministic stub decoder"
-                )
             rows = []
             for aid, payload, sr, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["meta_sample_rate"],
                 pdf["meta_duration_ms"],
             ):
-                n = max(1, int(sr) * int(dur) // 1000 // 100)  # decimated
-                samples = _fake_decode_bytes(bytes(payload), n).astype(np.float64)
-                samples = (samples - 128.0) / 128.0
+                if fake:
+                    n = max(1, int(sr) * int(dur) // 1000 // 100)  # decimated
+                    samples = _fake_decode_bytes(bytes(payload), n).astype(np.float64)
+                    samples = (samples - 128.0) / 128.0
+                else:
+                    sr, dur, samples = _decode_wav(bytes(payload))
+                    if samples.size == 0:
+                        samples = np.zeros(1)
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -169,21 +239,35 @@ def resize_images(
 ) -> DataFrame:
     """Resize: payload in → payload out with new dims (1→1 mapInPandas,
     output schema == asset schema so resize composes with decode/frame
-    ops). Real path needs an image codec (stubbed); the fake path
-    re-derives a deterministic payload of the target pixel count."""
+    ops). Real path auto-upgrades via optional-import PIL (PNG
+    re-encode); the fake path re-derives a deterministic payload of the
+    target pixel count."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _pil()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
-                    "image codec not available in this environment; "
+                    "image codec not available in this environment "
+                    "(optional dependency PIL not importable); "
                     "pass fake=True for the deterministic stub resizer"
                 )
             out = pdf.copy()
-            out["payload"] = [
-                _fake_decode_bytes(bytes(p), width * height).tobytes()
-                for p in pdf["payload"]
-            ]
+            if fake:
+                out["payload"] = [
+                    _fake_decode_bytes(bytes(p), width * height).tobytes()
+                    for p in pdf["payload"]
+                ]
+            else:
+                resized = []
+                for p in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(p))).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    resized.append(buf.getvalue())
+                out["payload"] = resized
             out["meta_width"] = width
             out["meta_height"] = height
             yield out[[

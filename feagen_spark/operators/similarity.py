@@ -109,13 +109,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures, banded candidate
     join (corpus side shuffled by band bucket ONCE; query side broadcast),
-    exact cosine re-rank within candidates."""
+    exact cosine re-rank within candidates.
+
+    Pass ``dim`` (the embedding length) to keep plan construction
+    action-free; omitting it falls back to a 1-row sniff job."""
     if n_planes % bands != 0:
         raise ValueError("n_planes must be divisible by bands")
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     signer = _make_signer(dim, n_planes, seed)
 
     c_sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
@@ -176,10 +181,13 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
-    via banded hyperplane-LSH candidates + exact verify."""
-    dim = len(corpus.select(vec_col).first()[0])
+    via banded hyperplane-LSH candidates + exact verify. Pass ``dim`` to
+    avoid the 1-row dimension-sniff job at plan-build time."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     signer = _make_signer(dim, n_planes, seed)
     sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
     r = n_planes // bands

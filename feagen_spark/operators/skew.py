@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window, WindowSpec
 
 
@@ -41,24 +42,43 @@ def salted_agg(
     partial_aggs: Sequence[tuple[Column, str]],
     merge_aggs: Callable[[str], Column] | None = None,
     salt_n: int = 32,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregate: groupBy(key, salt) → groupBy(key).
 
     partial_aggs: (agg_column, out_name) computed per (key, salt);
     merge_aggs(name) -> final merge column (default: sum — correct for
     count/sum-style partials). Hot keys spread across salt_n reducers.
+
+    The salt hashes stable row content (``salt_cols``, default: every
+    column) — NOT monotonically_increasing_id, which changes across task
+    retries/repartitions and would make speculative-execution retries
+    bucket rows differently mid-job.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
-    )
-    partial = salted.groupBy(*keys, "__salt").agg(
-        *[c.alias(n) for c, n in partial_aggs]
-    )
+    partial = salted_partials(df, keys, partial_aggs, salt_n=salt_n, salt_cols=salt_cols)
     if merge_aggs is None:
         merge_aggs = lambda n: F.sum(n).alias(n)  # noqa: E731
     return partial.groupBy(*keys).agg(
         *[merge_aggs(n) for _, n in partial_aggs]
+    )
+
+
+def salted_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[tuple[Column, str]],
+    salt_n: int = 32,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Phase-1 frame of :func:`salted_agg`: one row per (key, salt).
+    Exposed so the retry-stability of the salt is directly testable."""
+    scols = list(salt_cols) if salt_cols is not None else list(df.columns)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*scols), F.lit(salt_n))
+    )
+    return salted.groupBy(*list(keys), "__salt").agg(
+        *[c.alias(n) for c, n in partial_aggs]
     )
 
 
@@ -232,8 +252,12 @@ def auto_trailing(
         sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
         giants = sizes.where(F.col("__n") > giant_threshold).select(key)
     elif not isinstance(giants, DataFrame):
+        # derive the key dtype from the input schema — a hardcoded string
+        # schema breaks the semi/anti joins for e.g. long id keys
+        key_type = df.schema[key].dataType
         giants = df.sparkSession.createDataFrame(
-            [(g,) for g in giants], f"{key} string"
+            [(g,) for g in giants],
+            T.StructType([T.StructField(key, key_type)]),
         )
     else:
         giants = giants.select(key)

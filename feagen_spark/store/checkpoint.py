@@ -81,18 +81,29 @@ class CheckpointStore:
     ) -> dict:
         """Write a checkpoint table + manifest entry with lineage/metrics.
 
-        Single distributed audit pass computes NaN counts (write is
-        REJECTED on any NaN, reference semantics) and the content
-        checksum; per-file row counts and ts min/max come from parquet
-        footer statistics (no extra scan).
+        ONE Spark job: the NaN counts and content checksum ride on the
+        write action as ``df.observe`` metrics (a pre-write ``df.agg``
+        audit would scan — and, uncached, fully recompute — the lineage
+        twice; at 100TB that doubles every checkpoint). NaN validation
+        therefore happens post-write: on violation the written files are
+        quarantined (deleted) and the write is REJECTED (reference
+        semantics), so a failed write never becomes a manifest entry.
+        The checksum observed during the write describes exactly the
+        materialized files even for nondeterministic upstreams.
         """
+        from pyspark.sql import Observation
+
         path = os.path.join(self.root, f"{node_name}-{fingerprint[:16]}")
 
-        float_cols = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
-        ]
+        float_cols = (
+            [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            ]
+            if audit_nan
+            else []
+        )
         aggs = [
             # decimal(38,0) sum: order-independent and overflow-proof under
             # ANSI mode even at 10^12 rows × int64 hash range
@@ -103,7 +114,9 @@ class CheckpointStore:
             aggs.append(
                 F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
             )
-        audit = df.agg(*aggs).collect()[0].asDict()
+        obs = Observation(f"ckpt_audit_{node_name}")
+        df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+        audit = obs.get
         if audit_nan:
             bad = {
                 c: audit[f"__nan_{c}"]
@@ -111,11 +124,12 @@ class CheckpointStore:
                 if (audit[f"__nan_{c}"] or 0) > 0
             }
             if bad:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
                 raise NaNWriteError(
                     f"node {node_name!r}: NaN values rejected on write: {bad}"
                 )
-
-        df.write.mode("overwrite").parquet(path)
 
         partitions = self._file_metrics(path, ts_col)
         entry = {

@@ -9,11 +9,12 @@ counts, and an ``applyInPandasWithState`` custom stateful operator for
 running per-conversation counters (the streaming twin of the cumulative
 features).
 
-Boundary semantics note: ``session_window(ts, gap)`` starts a new
-session when the inter-event delta is >= gap, while the batch
-sessionizer (features/turns.add_session_id) uses strictly > gap; the
-two agree whenever deltas never hit the threshold exactly (true of the
-synthetic fixture, and of real μs timestamps in practice).
+Boundary semantics note: ``session_window(ts, gap)`` merges an event
+whose delta to the previous event is EXACTLY gap (window end is
+inclusive; verified empirically on Spark 4.1.2) — i.e. it splits at
+delta > gap, which is precisely the batch sessionizer's semantics
+(features/turns.add_session_id). Exact-gap parity is locked by
+tests/test_streaming.py::test_streaming_session_boundary_exact_gap.
 """
 
 from __future__ import annotations
@@ -49,7 +50,8 @@ def streaming_session_aggs(
 ) -> DataFrame:
     """Per-(conv, session) aggregates over a late-data-tolerant stream:
     watermark bounds state; session_window merges turns with inter-turn
-    gaps < gap_s (C7/C8 streaming twin)."""
+    gaps <= gap_s — exactly the batch sessionizer's split-at->gap
+    boundary (C7/C8 streaming twin)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(

@@ -105,9 +105,11 @@ def main() -> None:
             if isinstance(cfg["bundle_structure"], str)
             else cfg["bundle_structure"]
         )
+        prev_run = eng.last_run
         out = eng.bundle(out, structure)
-        executed += eng.last_run.executed
-        skipped += eng.last_run.skipped
+        if eng.last_run is not prev_run:  # bundle() triggered a generate()
+            executed += eng.last_run.executed
+            skipped += eng.last_run.skipped
 
     out_path = cfg["output_path"]
     writer = out.write.mode(cfg.get("output_mode", "overwrite"))

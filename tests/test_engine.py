@@ -196,3 +196,71 @@ def test_lifetime_dag_via_generator_class(spark):
     pdf = out.toPandas().sort_values("id")
     first = pdf.iloc[0]["features"]
     assert np.allclose(first, [60.5, 60.5 / 1.65**2, 0.0])
+
+
+def test_checkpoint_write_single_pass(spark, tmp_path):
+    """The audit (checksum + NaN counts) must ride on the write action
+    via df.observe — a pre-write df.agg audit scans the lineage twice.
+    An accumulator inside the lineage counts how many rows were
+    actually computed: exactly once."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = spark.range(100).select(
+        F.col("id").alias("conv_id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    df = src.mapInPandas(counted, schema="conv_id long, v double")
+    store = CheckpointStore(str(tmp_path / "ck_single"))
+    entry = store.write(df, "fp_single", "node_single")
+    assert entry["row_count"] == 100
+    assert acc.value == 100, f"lineage computed {acc.value} rows for a 100-row write"
+
+
+def test_checkpoint_nan_rejected_and_quarantined(spark, tmp_path):
+    """Reference semantics: NaN values reject the write. Post-write
+    validation must quarantine (delete) the files and leave no manifest
+    entry, so a failed write can never be resumed from."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feagen_spark.store.checkpoint import NaNWriteError
+
+    df = spark.range(10).select(
+        F.col("id").alias("conv_id"),
+        F.when(F.col("id") == 3, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    store = CheckpointStore(str(tmp_path / "ck_nan"))
+    with pytest.raises(NaNWriteError):
+        store.write(df, "fp_nan", "node_nan")
+    assert not store.exists("fp_nan")
+    leftover = [
+        p for p in os.listdir(str(tmp_path / "ck_nan")) if p.startswith("node_nan")
+    ]
+    assert leftover == [], f"rejected write left files: {leftover}"
+
+
+def test_checkpoint_audit_nan_false_skips_nan_aggs(spark, tmp_path):
+    """audit_nan=False must not reject NaN rows (and computes no NaN
+    aggregates at all)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(
+        F.col("id").alias("conv_id"),
+        F.when(F.col("id") == 2, F.lit(float("nan")))
+        .otherwise(F.lit(1.0))
+        .alias("v"),
+    )
+    store = CheckpointStore(str(tmp_path / "ck_nonan"))
+    entry = store.write(df, "fp_ok", "node_ok", audit_nan=False)
+    assert entry["row_count"] == 5
+    assert store.exists("fp_ok")

@@ -298,3 +298,64 @@ def test_multimodal_resize_composes_with_decode(spark):
         MM.resize_images(assets, width=16, height=16, fake=True), fake=True
     ).orderBy("asset_id").toPandas()
     assert (feats["phash"] == again["phash"]).all()
+
+
+def test_multimodal_audio_real_wav_decode(spark):
+    """REAL codec path: decode_audio_features(fake=False) parses genuine
+    WAV payloads via the stdlib wave module — sample rate and duration
+    come from the container, RMS from the actual samples."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    def make_wav(freq_hz: float, sr: int, n: int) -> bytes:
+        t = np.arange(n) / sr
+        samples = (np.sin(2 * math.pi * freq_hz * t) * 0.5 * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    rows = [
+        (0, "audio", make_wav(440.0, 16000, 16000), 0, 0, 0, 0),
+        (1, "audio", make_wav(880.0, 8000, 4000), 0, 0, 0, 0),
+    ]
+    assets = spark.createDataFrame(rows, schema=MM.ASSET_SCHEMA)
+    pdf = (
+        MM.decode_audio_features(assets, fake=False)
+        .orderBy("asset_id")
+        .toPandas()
+    )
+    # container metadata wins over the (zeroed) meta columns
+    assert list(pdf["sample_rate"]) == [16000, 8000]
+    assert list(pdf["duration_ms"]) == [1000, 500]
+    # RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2)
+    assert np.allclose(pdf["rms"], 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_multimodal_image_real_path_uses_pil_when_available(spark):
+    """The image decode auto-upgrades via optional-import PIL; in this
+    container PIL is absent, so the declared NotImplementedError fires.
+    (On a PIL-equipped cluster the same call decodes for real.)"""
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    assets = MM.synthetic_assets(spark, n=2)
+    if have_pil:
+        # synthetic payloads are not real images: PIL raises a decode
+        # error, NOT NotImplementedError — proves the real path engaged
+        with pytest.raises(Exception) as ei:
+            MM.decode_image_features(assets, fake=False).collect()
+        assert "NotImplementedError" not in str(ei.value)
+    else:
+        with pytest.raises(Exception) as ei:
+            MM.decode_image_features(assets, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value)

@@ -115,6 +115,58 @@ def test_salted_agg_matches_groupby(tiny_transcripts):
     )
 
 
+def test_salted_partials_deterministic_across_runs_and_layout(tiny_transcripts):
+    """The salt must hash stable row content: two runs and a
+    repartitioned input produce IDENTICAL partials per (key, salt) —
+    the property a monotonically_increasing_id salt violates under
+    task retries / layout changes."""
+    aggs = [(F.count(F.lit(1)), "n"), (F.sum(F.length("text")), "chars")]
+
+    def partials(df):
+        return (
+            SK.salted_partials(df, ["role"], aggs, salt_n=8)
+            .toPandas()
+            .sort_values(["role", "__salt"])
+            .reset_index(drop=True)
+        )
+
+    p1 = partials(tiny_transcripts)
+    p2 = partials(tiny_transcripts)
+    p3 = partials(tiny_transcripts.repartition(13))
+    pd.testing.assert_frame_equal(p1, p2)
+    pd.testing.assert_frame_equal(p1, p3)
+
+
+def test_auto_trailing_non_string_key(spark):
+    """giants passed as a plain sequence must work for non-string key
+    columns (schema derived from the input, not hardcoded string)."""
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("k"),  # long key
+        F.col("id").alias("ord"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    # dense 0..n-1 order per key
+    from pyspark.sql.window import Window
+
+    df = df.withColumn(
+        "ord", F.row_number().over(Window.partitionBy("k").orderBy("ord")) - 1
+    )
+    specs = [
+        SK.TrailingSpec(
+            "v_sum_3",
+            lambda w: F.coalesce(F.sum("v").over(w.rowsBetween(-3, -1)), F.lit(0.0)),
+            reach=3,
+        )
+    ]
+    plain = SK.plain_trailing(df, "k", "ord", specs)
+    routed = SK.auto_trailing(
+        df, "k", "ord", specs, chunk_size=16, giants=[0, 2]
+    )
+    p = plain.toPandas().sort_values(["k", "ord"]).reset_index(drop=True)
+    a = routed.toPandas().sort_values(["k", "ord"]).reset_index(drop=True)
+    assert (p["v_sum_3"] == a["v_sum_3"]).all()
+
+
 def test_chunked_cumulative_equals_plain(tiny_transcripts):
     specs = [
         SK.CumulativeSpec("cum_turns", F.lit(1)),

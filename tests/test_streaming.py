@@ -87,6 +87,56 @@ def test_streaming_running_counters_match_batch(spark, tiny_transcripts, stream_
     assert (got["tool_calls"] == exp["tool_calls"]).all()
 
 
+def test_streaming_session_boundary_exact_gap(spark, tmp_path):
+    """Deltas EXACTLY equal to the gap must sessionize identically in
+    batch and streaming (session_window's window end is inclusive, so
+    both split strictly above the gap): exact-gap → same session;
+    gap+1µs → new session."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    gap = 1800
+    rows = [
+        # conv A: deltas exactly gap → ONE session in batch semantics
+        ("A", 0, "user", "x", None, t0),
+        ("A", 1, "assistant", "x", None, t0 + dt.timedelta(seconds=gap)),
+        ("A", 2, "user", "x", None, t0 + dt.timedelta(seconds=2 * gap)),
+        # conv B: delta gap + 1µs → TWO sessions
+        ("B", 0, "user", "x", None, t0),
+        ("B", 1, "user", "x", None, t0 + dt.timedelta(seconds=gap, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, schema=INC.TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "exact_gap_in")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    batch = (
+        T.session_aggregates(T.add_session_id(df, gap_s=gap))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .toPandas()
+        .set_index("conv_id")["n_sessions"]
+        .sort_index()
+    )
+    assert batch["A"] == 1 and batch["B"] == 2
+
+    stream = INC.stream_transcripts(spark, d)
+    INC.run_available_now(
+        INC.streaming_session_aggs(stream, gap_s=gap),
+        "exact_gap_sessions",
+        str(tmp_path / "ck_gap"),
+        output_mode="complete",
+    )
+    got = (
+        spark.table("exact_gap_sessions")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .toPandas()
+        .set_index("conv_id")["n_sessions"]
+        .sort_index()
+    )
+    assert (got == batch).all()
+
+
 def test_streaming_rolling_counts_runs(spark, stream_dir, tmp_path):
     stream = INC.stream_transcripts(spark, stream_dir)
     INC.run_available_now(
