@@ -1,0 +1,161 @@
+"""Event-stream feature nodes: the features/turns.py machinery
+retargeted at a generic (user_id, ts, event_id) event table — the
+driver's `events` — so the ENGINE COMPOSITION (DAG resolution, template
+expansion, topological execution, A1-A6) is exercised end-to-end by an
+oracle-checked query, not only by unit tests.
+
+Same scale contract as the transcript profile: every row-frame window
+shares ONE partitioning (user_id, ordered by (ts, event_id)), so the
+whole node set compiles to a single Exchange; the time-range window
+re-sorts by unix_micros(ts) within the same partitioning (an
+intra-partition sort, not a second shuffle). All trailing frames end
+before the current row (leakage-safe, BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..core.spec import FeatureNode, FeatureTemplate
+
+KEY = "user_id"
+ORDER = ("ts", "event_id")
+SESSION_GAP_S = 1800
+
+
+def _w():
+    """Canonical per-entity window (built lazily: pyspark 4 needs an
+    active session to construct WindowSpecs)."""
+    return Window.partitionBy(KEY).orderBy(*ORDER)
+
+
+def _w_time():
+    return Window.partitionBy(KEY).orderBy(F.unix_micros(F.col("ts")))
+
+
+def add_prev_event_type(df: DataFrame) -> DataFrame:
+    return df.withColumn("prev_event_type", F.lag("event_type", 1).over(_w()))
+
+
+def add_ts_delta_prev_s(df: DataFrame) -> DataFrame:
+    prev = F.lag("ts", 1).over(_w())
+    return df.withColumn(
+        "ts_delta_prev_s",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / 1_000_000.0,
+    )
+
+
+def add_n_so_far(df: DataFrame) -> DataFrame:
+    w = _w().rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn("n_so_far", F.count(F.lit(1)).over(w))
+
+
+def add_cum_value(df: DataFrame) -> DataFrame:
+    w = _w().rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "cum_value", F.coalesce(F.sum("value").over(w), F.lit(0.0))
+    )
+
+
+def add_value_sum_last_10(df: DataFrame) -> DataFrame:
+    w = _w().rowsBetween(-10, -1)
+    return df.withColumn(
+        "value_sum_last_10", F.coalesce(F.sum("value").over(w), F.lit(0.0))
+    )
+
+
+def add_n_events_600s(df: DataFrame) -> DataFrame:
+    """Trailing 600s time frame, strictly before current ts."""
+    w = _w_time().rangeBetween(-600 * 1_000_000, -1)
+    return df.withColumn(
+        "n_events_600s", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+    )
+
+
+def add_session_id(df: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    prev = F.lag("ts", 1).over(_w())
+    is_new = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev))
+            > gap_s * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    w_cum = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_id", F.sum(is_new).over(w_cum).cast("int"))
+
+
+def make_last_value_template() -> FeatureTemplate:
+    """Regex data key `last_<etype>_value`: latest strictly-prior value
+    of events of that type, carried forward per user (the as-of state
+    family as a template — feagen's regex keys, A2)."""
+
+    def make(m):
+        etype = m.group("etype")
+        name = f"last_{etype}_value"
+
+        def fn(df, _e=etype, _n=name):
+            w = _w().rowsBetween(Window.unboundedPreceding, -1)
+            return df.withColumn(
+                _n,
+                F.last(
+                    F.when(F.col("event_type") == _e, F.col("value")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+
+        return FeatureNode(
+            name=name,
+            outputs=(name,),
+            deps=(KEY, "ts", "event_id", "event_type", "value"),
+            fn=fn,
+        )
+
+    return FeatureTemplate(
+        pattern=r"last_(?P<etype>[a-z]+)_value",
+        make=make,
+        name="last_value_template",
+    )
+
+
+def make_lag_template() -> FeatureTemplate:
+    """Regex data key `<col>_lag_<k>` over the event ordering."""
+
+    def make(m):
+        col, k = m.group("col"), int(m.group("k"))
+        name = f"{col}_lag_{k}"
+
+        def fn(df, _c=col, _k=k, _n=name):
+            return df.withColumn(_n, F.lag(_c, _k).over(_w()))
+
+        return FeatureNode(
+            name=name, outputs=(name,), deps=(KEY, "ts", "event_id", col), fn=fn
+        )
+
+    return FeatureTemplate(
+        pattern=r"(?P<col>\w+?)_lag_(?P<k>\d+)", make=make, name="ev_lag_template"
+    )
+
+
+def event_nodes() -> list[FeatureNode]:
+    n = FeatureNode
+    base = (KEY, "ts", "event_id")
+    return [
+        n("prev_event_type", ("prev_event_type",), base + ("event_type",), add_prev_event_type),
+        n("ts_delta_prev_s", ("ts_delta_prev_s",), base, add_ts_delta_prev_s),
+        n("n_so_far", ("n_so_far",), base, add_n_so_far),
+        n("cum_value", ("cum_value",), base + ("value",), add_cum_value),
+        n("value_sum_last_10", ("value_sum_last_10",), base + ("value",), add_value_sum_last_10),
+        n("n_events_600s", ("n_events_600s",), base, add_n_events_600s),
+        n("session_id", ("session_id",), base, add_session_id),
+    ]
+
+
+def event_templates() -> list[FeatureTemplate]:
+    # order matters: the more specific last_*_value pattern is tried
+    # first (the generic lag pattern would not match it anyway, but the
+    # intent should be explicit)
+    return [make_last_value_template(), make_lag_template()]

@@ -105,3 +105,41 @@ def test_wholestage_codegen_covers_text_profile(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_event_feature_dag_single_shuffle(spark, tmp_path_factory):
+    """The generic event-stream feature DAG (features/events.py) must
+    compile to ONE hash exchange on user_id, same as the transcript
+    suite — the time-range window re-sorts within the partition."""
+    from feagen_spark.features.events import event_nodes, event_templates
+
+    p = str(tmp_path_factory.mktemp("plans_ev") / "ev")
+    spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 9).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["click", "view", "purchase"]]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 17).cast("double").alias("value"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    ).write.mode("overwrite").parquet(p)
+    ev = spark.read.parquet(p)
+
+    dag = FeatureDAG(
+        nodes=event_nodes(),
+        templates=event_templates(),
+        input_columns=tuple(ev.columns),
+    )
+    out = Engine(dag, store=None, keys=("user_id", "event_id")).generate(
+        ev,
+        [
+            "prev_event_type", "n_so_far", "cum_value", "value_sum_last_10",
+            "n_events_600s", "session_id", "last_click_value",
+            "event_type_lag_2",
+        ],
+    )
+    plan = _plan(out)
+    ex = _exchanges(plan)
+    assert len(ex) == 1, plan
+    assert "user_id" in ex[0]
