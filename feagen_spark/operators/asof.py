@@ -24,40 +24,55 @@ NULL feature values do not make ``last(..., ignorenulls)`` leak an older
 snapshot forward (the struct itself is non-null for every right row).
 
 Skew: the single window partitions by the join keys; AQE cannot split a
-skewed window partition, so for pathologically hot keys use
-operators.skew.salted hints upstream or pre-aggregate the right side.
+skewed window partition, so one pathologically hot key pins one task.
+:func:`asof_join_chunked` is the skew-safe variant: it buckets the
+union by time span and runs the carry-forward in two passes (within-
+chunk window + per-chunk-prefix fixup), turning a giant key's single
+task into O(span_count) parallel tasks — the same two-pass idea as
+operators.skew.chunked_cumulative.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 _SIDE = "__asof_side"
 _SNAP = "__asof_snap"
 _ORD = "__asof_ord"
+_CHUNK = "__asof_chunk"
 
 
-def asof_join(
+@dataclass(frozen=True)
+class _AsofUnion:
+    u: DataFrame
+    on: list[str]
+    left_ts: str
+    values: list[str]
+    out_cols: list[str]
+    left_payload: list[str]
+    ord_aliases: list[str]
+    left_side: int
+    right_side: int
+
+
+def _asof_union(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
-    left_ts: str = "ts",
-    right_ts: str = "ts",
-    values: Sequence[str] | None = None,
-    strict: bool = True,
-    right_order: Sequence[str] = (),
-    value_prefix: str = "",
-) -> DataFrame:
-    """As-of join left←right on ``on`` keys ordered by timestamps.
-
-    Returns all left rows + ``values`` columns from the latest admissible
-    right row (null when none exists). ``right_order`` breaks ties among
-    right rows sharing a timestamp (latest wins); defaults to input order
-    of the right frame made deterministic by right_ts only.
-    """
+    left_ts: str,
+    right_ts: str,
+    values: Sequence[str] | None,
+    strict: bool,
+    right_order: Sequence[str],
+    value_prefix: str,
+) -> _AsofUnion:
+    """Shared construction: tag both sides, union by name. The window
+    (plain) or two-pass (chunked) carry runs on the result."""
     on = list(on)
     if values is None:
         values = [c for c in right.columns if c not in set(on) | {right_ts}]
@@ -98,26 +113,158 @@ def asof_join(
         *left_payload,
         F.col(left_ts),
     )
-    u = r.unionByName(l)
+    return _AsofUnion(
+        u=r.unionByName(l),
+        on=on,
+        left_ts=left_ts,
+        values=values,
+        out_cols=out_cols,
+        left_payload=left_payload,
+        ord_aliases=ord_aliases,
+        left_side=left_side,
+        right_side=right_side,
+    )
 
+
+def _asof_project(au: _AsofUnion, u: DataFrame) -> DataFrame:
+    picked = u.where(F.col(_SIDE) == au.left_side)
+    return picked.select(
+        *au.on,
+        au.left_ts,
+        *au.left_payload,
+        *[
+            F.col(f"{_SNAP}.{v}").alias(o)
+            for v, o in zip(au.values, au.out_cols)
+        ],
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    values: Sequence[str] | None = None,
+    strict: bool = True,
+    right_order: Sequence[str] = (),
+    value_prefix: str = "",
+) -> DataFrame:
+    """As-of join left←right on ``on`` keys ordered by timestamps.
+
+    Returns all left rows + ``values`` columns from the latest admissible
+    right row (null when none exists). ``right_order`` breaks ties among
+    right rows sharing a timestamp (latest wins); defaults to input order
+    of the right frame made deterministic by right_ts only.
+    """
+    au = _asof_union(
+        left, right, on, left_ts, right_ts, values, strict, right_order,
+        value_prefix,
+    )
     order = [F.col(_ORD).asc(), F.col(_SIDE).asc()] + [
-        F.col(a).asc() for a in ord_aliases
+        F.col(a).asc() for a in au.ord_aliases
     ]
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*au.on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = u.withColumn(_SNAP, F.last(_SNAP, ignorenulls=True).over(w))
+    u = au.u.withColumn(_SNAP, F.last(_SNAP, ignorenulls=True).over(w))
+    return _asof_project(au, u)
 
-    picked = u.where(F.col(_SIDE) == left_side)
-    result = picked.select(
-        *on,
-        left_ts,
-        *left_payload,
-        *[F.col(f"{_SNAP}.{v}").alias(o) for v, o in zip(values, out_cols)],
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    values: Sequence[str] | None = None,
+    strict: bool = True,
+    right_order: Sequence[str] = (),
+    value_prefix: str = "",
+    chunk_span_s: int = 3600,
+) -> DataFrame:
+    """Skew-safe as-of join, value-identical to :func:`asof_join`.
+
+    A hot key in the plain union+window pins one task (Spark windows
+    cannot be split by AQE). Here the union is bucketed into
+    ``chunk_span_s``-second time chunks and the carry-forward runs in
+    two passes:
+
+    1. within-chunk: ``last(snap) ignorenulls`` over (keys, chunk) —
+       parallelism O(time-span / chunk_span) per key;
+    2. cross-chunk: the latest right row per (keys, chunk) — ONE row per
+       chunk via ``max_by`` — is prefix-carried over a tiny per-key
+       window and joined back; a row's snapshot is its within-chunk
+       carry, else the previous chunks' carry.
+
+    Boundary semantics are exact: equal timestamps always land in the
+    same chunk, so the strict/inclusive side-tag tie-break happens
+    entirely within pass 1, and every cross-chunk carry is strictly
+    earlier than any row of later chunks. Choose ``chunk_span_s`` so a
+    hot key has far more chunks than executor-cores-per-key; empty
+    chunks cost nothing (no row, no task).
+    """
+    au = _asof_union(
+        left, right, on, left_ts, right_ts, values, strict, right_order,
+        value_prefix,
     )
-    return result
+    ord_t = au.u.schema[_ORD].dataType
+    ord_us = (
+        F.unix_micros(F.col(_ORD))
+        if isinstance(ord_t, (T.TimestampType, T.TimestampNTZType))
+        else F.col(_ORD).cast("long")
+    )
+    u = au.u.withColumn(
+        _CHUNK, F.floor(ord_us / F.lit(int(chunk_span_s) * 1_000_000))
+    )
+
+    order = [F.col(_ORD).asc(), F.col(_SIDE).asc()] + [
+        F.col(a).asc() for a in au.ord_aliases
+    ]
+    w_in = (
+        Window.partitionBy(*au.on, _CHUNK)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = u.withColumn("__within", F.last(_SNAP, ignorenulls=True).over(w_in))
+
+    # pass 2 over ONE ROW PER non-empty (key, chunk): the chunk-final
+    # carry is __within at the chunk's maximal-ordered row (__within is
+    # monotone along the order, so max_by is exact; null for right-free
+    # chunks), prefix-carried to later chunks over a tiny per-key
+    # window. Built from the pass-1 result — not from right rows alone —
+    # so EVERY chunk that holds any row gets a carries entry and left
+    # rows in right-free chunks still inherit the latest earlier
+    # snapshot. This branch groups on the window's own partitioning
+    # keys, so Spark reuses the pass-1 shuffle (ReusedExchange): the
+    # marginal cost is one windowed aggregate, not a second scan.
+    chunk_last = within.groupBy(*au.on, _CHUNK).agg(
+        F.max_by(
+            "__within",
+            F.struct(
+                F.col(_ORD), F.col(_SIDE),
+                *[F.col(a) for a in au.ord_aliases],
+            ),
+        ).alias("__chunk_last")
+    )
+    w_pfx = (
+        Window.partitionBy(*au.on)
+        .orderBy(_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = chunk_last.select(
+        *au.on,
+        _CHUNK,
+        F.last("__chunk_last", ignorenulls=True).over(w_pfx).alias("__carry"),
+    )
+    # carries holds one row per non-empty (key, chunk) — small next to
+    # the data; broadcast keeps the fixup join shuffle-free on the big
+    # side (with very many keys × chunks, drop the hint and let AQE pick)
+    out = within.join(F.broadcast(carries), on=[*au.on, _CHUNK], how="left")
+    out = out.withColumn(_SNAP, F.coalesce(F.col("__within"), F.col("__carry")))
+    return _asof_project(au, out)
 
 
 def backfill_snapshots(

@@ -121,3 +121,96 @@ def test_asof_multiple_value_columns_single_window(tiny_transcripts, label_df):
     assert asof_windows == 1, plan  # one Window exec carries all value cols
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("chunk_span_s", [60, 3600, 10**9])
+def test_chunked_asof_value_identical(featured, label_df, strict, chunk_span_s):
+    """asof_join_chunked must be value-identical to asof_join at every
+    chunk granularity — including one giant chunk (degenerates to the
+    plain path) and 60s chunks (many right-free chunks between labels)."""
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    kw = dict(
+        on=["conv_id"],
+        values=VALUE_COLS,
+        strict=strict,
+        right_order=("turn_idx",),
+    )
+    plain = (
+        asof_join(label_df, featured, **kw)
+        .toPandas()
+        .sort_values(["conv_id", "ts"] + VALUE_COLS)
+        .reset_index(drop=True)
+    )
+    chunked = (
+        asof_join_chunked(label_df, featured, chunk_span_s=chunk_span_s, **kw)
+        .toPandas()
+        .sort_values(["conv_id", "ts"] + VALUE_COLS)
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(chunked)
+    for c in VALUE_COLS:
+        g = pd.to_numeric(chunked[c], errors="coerce").astype(float)
+        e = pd.to_numeric(plain[c], errors="coerce").astype(float)
+        assert np.allclose(g, e, equal_nan=True), f"{c} strict={strict} span={chunk_span_s}"
+
+
+def test_chunked_asof_equal_ts_ties(spark):
+    """Equal-ts collisions land in one chunk, so the strict/inclusive
+    side-tag tie-break must behave exactly like the plain join."""
+    import datetime as dt
+
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    t0 = dt.datetime(2025, 1, 1)
+    right = spark.createDataFrame(
+        [
+            ("k", t0, 1, 10.0),
+            ("k", t0 + dt.timedelta(hours=2), 2, 20.0),  # equal to label ts
+        ],
+        "conv_id string, ts timestamp, turn_idx int, v double",
+    )
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(hours=2))], "conv_id string, ts timestamp"
+    )
+    for strict, expected in [(True, 10.0), (False, 20.0)]:
+        for fn_kw in [{}, {"chunk_span_s": 3600}]:
+            fn = asof_join if not fn_kw else asof_join_chunked
+            out = fn(
+                left, right, on=["conv_id"], values=["v"], strict=strict,
+                right_order=("turn_idx",), **fn_kw
+            ).first()
+            assert out["v"] == expected, (strict, fn_kw)
+
+
+def test_chunked_asof_right_free_gap_carries(spark):
+    """A label several empty chunks after the last snapshot must still
+    inherit it (the carries table is built from ALL non-empty chunks,
+    not just right-occupied ones)."""
+    import datetime as dt
+
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    t0 = dt.datetime(2025, 1, 1)
+    right = spark.createDataFrame(
+        [("k", t0, 1, 42.0)],
+        "conv_id string, ts timestamp, turn_idx int, v double",
+    )
+    left = spark.createDataFrame(
+        [
+            ("k", t0 - dt.timedelta(hours=1)),   # before any snapshot → null
+            ("k", t0 + dt.timedelta(hours=7)),   # 6 empty 1h-chunks later
+        ],
+        "conv_id string, ts timestamp",
+    )
+    out = (
+        asof_join_chunked(
+            left, right, on=["conv_id"], values=["v"], strict=True,
+            right_order=("turn_idx",), chunk_span_s=3600,
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0]["v"] is None
+    assert out[1]["v"] == 42.0
