@@ -53,6 +53,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an explicit split: the testdata table is ONE
+    parquet row-group, and parquet cannot split inside a row-group, so
+    every CPU-heavy map stage (shingling, regex profiling, hashing)
+    would otherwise run on a single core. The up-front shuffle is a few
+    MB here; a real many-file corpus provides input splits for free and
+    wouldn't need this. Measured 2.4x on doc_minhash_pairs at sf0.1."""
+    return _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+
+
 def _us(col) -> F.Column:
     return F.unix_micros(col)
 
@@ -323,7 +333,7 @@ def q_join_revenue_by_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_doc_profile(spark, sf_dir):
-    d = TS.text_profile(_t(spark, sf_dir, "documents"))
+    d = TS.text_profile(_docs(spark, sf_dir))
     return d.select(
         "doc_id",
         F.col("char_len").cast("long").alias("char_len"),
@@ -338,12 +348,12 @@ def q_doc_profile(spark, sf_dir):
 
 
 def q_doc_exact_dedup(spark, sf_dir):
-    return D.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+    return D.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
 def q_doc_dup_audit(spark, sf_dir):
     """Dedup audit: per lang, docs vs distinct normalized fingerprints."""
-    d = TS.add_fingerprint(_t(spark, sf_dir, "documents"))
+    d = TS.add_fingerprint(_docs(spark, sf_dir))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_unique"),
@@ -351,7 +361,7 @@ def q_doc_dup_audit(spark, sf_dir):
 
 
 def q_doc_ngram_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
@@ -392,6 +402,40 @@ def q_emb_bundle(spark, sf_dir):
     return bundled.select(
         "vec_id", F.posexplode("features").alias("pos", "value")
     ).select("vec_id", F.col("pos").cast("int").alias("pos"), "value")
+
+
+DOC_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_doc_sparse_features(spark, sf_dir):
+    """Sparse feature block (feagen h5sparse parity): one-hot(lang) ++
+    token_count ++ quality_score as a CSR-row struct via bundle_sparse,
+    exploded to scalar (doc_id, size, idx, val) rows for the driver
+    hash. Zeros are dropped on both sides (OOV one-hot positions,
+    zero-quality docs)."""
+    from feagen_spark.operators.bundle import bundle_sparse, one_hot
+
+    d = TS.text_profile(_docs(spark, sf_dir))
+    d = d.withColumn("lang_onehot", one_hot("lang", DOC_LANGS))
+    b = bundle_sparse(
+        d,
+        {"features": ["lang_onehot", "token_count", "quality_score"]},
+        keys=("doc_id",),
+    )
+    iv = F.explode(
+        F.arrays_zip(
+            F.col("features.indices").alias("idx"),
+            F.col("features.values").alias("val"),
+        )
+    )
+    return b.select(
+        "doc_id", F.col("features.size").alias("size"), iv.alias("iv")
+    ).select(
+        "doc_id",
+        "size",
+        F.col("iv.idx").alias("idx"),
+        (F.round(F.col("iv.val"), 6) + 0.0).alias("val"),
+    )
 
 
 def q_ev_feature_dag(spark, sf_dir):
@@ -444,7 +488,7 @@ def q_doc_lsh_recall(spark, sf_dir):
     shows up as a hash mismatch at the driver. Subset doc_id%2 keeps the
     exact-Jaccard ground truth affordable while containing genuine
     near-dup pairs at every sf."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
     true_pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).select(
         "id_a", "id_b"
     )
@@ -473,13 +517,13 @@ def q_doc_minhash_pairs(spark, sf_dir):
     # join against the corpus's giant template clusters (one B-member
     # bucket otherwise yields B² candidates)
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.8,
+        _docs(spark, sf_dir), k=32, bands=8, threshold=0.8,
         max_bucket=200,
     )
 
 
 def q_doc_simhash(spark, sf_dir):
-    return D.add_simhash(_t(spark, sf_dir, "documents")).select(
+    return D.add_simhash(_docs(spark, sf_dir)).select(
         "doc_id", "simhash"
     )
 
@@ -555,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bundle": q_emb_bundle,
         "ev_feature_dag": q_ev_feature_dag,
         "doc_lsh_recall": q_doc_lsh_recall,
+        "doc_sparse_features": q_doc_sparse_features,
         # rows-only (no SQL oracle by design):
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -903,6 +948,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(range(0, len(features))) AS INT) AS pos,
                unnest(features) AS value
         FROM bundled
+    """
+
+    onehot = ",\n                ".join(
+        f"CASE WHEN lang = '{l}' THEN 1.0 ELSE 0.0 END" for l in DOC_LANGS
+    )
+    sql["doc_sparse_features"] = f"""
+        WITH prof AS (
+            SELECT doc_id,
+               [{onehot},
+                CAST({_TOKENS} AS DOUBLE),
+                {quality}] AS dense
+            FROM documents
+        ), expl AS (
+            SELECT doc_id, CAST(len(dense) AS INT) AS size,
+                   CAST(unnest(range(0, len(dense))) AS INT) AS idx,
+                   unnest(dense) AS val
+            FROM prof
+        )
+        SELECT doc_id, size, idx, round(val, 6) + 0.0 AS val
+        FROM expl WHERE val != 0
     """
 
     sql["ev_feature_dag"] = session_cte + f"""

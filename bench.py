@@ -47,8 +47,10 @@ HEADLINE = [
     "doc_profile",
     "doc_exact_dedup",
     "doc_minhash_pairs",
+    "doc_sparse_features",
     "emb_topk",
     "emb_bundle",
+    "ev_feature_dag",
 ]
 
 GOLDEN_FEATURES = [

@@ -83,3 +83,85 @@ def bundle(
     """
     cols = [F.col(k) for k in keys] + _structure_cols(df, structure, prefix="")
     return df.select(*cols)
+
+
+# -- sparse blocks (feagen h5sparse analogue) ----------------------------------
+
+SPARSE_STRUCT = "struct<size:int, indices:array<int>, values:array<double>>"
+
+
+def to_sparse(dense: Column) -> Column:
+    """array<double> → CSR-row struct (size, indices, values), dropping
+    zeros. Pure JVM (transform with element index + filter): no UDF, no
+    shuffle — the Spark-native twin of feagen's h5sparse storage for
+    one-hot / TF-IDF style blocks where most entries are zero."""
+    pairs = F.filter(
+        F.transform(
+            dense,
+            lambda v, i: F.struct(
+                i.cast("int").alias("i"), v.cast("double").alias("v")
+            ),
+        ),
+        lambda p: p["v"] != 0.0,
+    )
+    return F.struct(
+        F.size(dense).cast("int").alias("size"),
+        F.transform(pairs, lambda p: p["i"]).alias("indices"),
+        F.transform(pairs, lambda p: p["v"]).alias("values"),
+    )
+
+
+def to_dense(sparse: Column) -> Column:
+    """CSR-row struct → array<double> (zeros restored); inverse of
+    :func:`to_sparse` for consumers that need the dense block back."""
+    m = F.map_from_arrays(sparse["indices"], sparse["values"])
+    idx = F.sequence(F.lit(0), sparse["size"] - 1)
+    return F.transform(
+        idx,
+        lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0.0)),
+    )
+
+
+def bundle_sparse(
+    df: DataFrame,
+    structure: Structure,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`bundle` with every LIST value emitted as a sparse CSR-row
+    struct instead of a dense array (str/nested-map values unchanged).
+    Sized for one-hot/TF-IDF blocks: shuffle and storage bytes scale
+    with nnz, not with the vocabulary width."""
+    out = bundle(df, structure, keys=keys)
+    list_outs = _list_output_names(structure, prefix="")
+    cols = [
+        to_sparse(F.col(f.name)).alias(f.name)
+        if f.name in list_outs
+        else F.col(f.name)
+        for f in out.schema.fields
+    ]
+    return out.select(*cols)
+
+
+def _list_output_names(structure: Structure, prefix: str) -> set[str]:
+    """Output column names produced by LIST values (the concat blocks);
+    str-valued pass-through columns keep their native type even when
+    they are arrays."""
+    names: set[str] = set()
+    for name, v in structure.items():
+        out = f"{prefix}{name}"
+        if isinstance(v, Mapping):
+            names |= _list_output_names(v, prefix=f"{out}_")
+        elif not isinstance(v, str) and isinstance(v, Sequence):
+            names.add(out)
+    return names
+
+
+def one_hot(col: Column | str, vocabulary: Sequence[str]) -> Column:
+    """Fixed-vocabulary one-hot encoding as array<double> (JVM-side;
+    out-of-vocabulary rows encode as all zeros). Materialize it as a
+    column and list it in a bundle structure; with ``bundle_sparse`` the
+    stored block is nnz-sized."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[(c == F.lit(v)).cast("double") for v in vocabulary]
+    )

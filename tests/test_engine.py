@@ -264,3 +264,38 @@ def test_checkpoint_audit_nan_false_skips_nan_aggs(spark, tmp_path):
     entry = store.write(df, "fp_ok", "node_ok", audit_nan=False)
     assert entry["row_count"] == 5
     assert store.exists("fp_ok")
+
+
+def test_bundle_sparse_roundtrip_and_nnz(spark):
+    """Sparse blocks (feagen h5sparse analogue): LIST values become
+    (size, indices, values) structs with zeros dropped; to_dense
+    restores the exact dense bundle."""
+    from pyspark.sql import functions as F
+
+    from feagen_spark.operators.bundle import (
+        bundle, bundle_sparse, one_hot, to_dense,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 3.0), (2, "b", 0.0), (3, "zz", 5.0)],
+        "id long, cat string, x double",
+    )
+    df = df.withColumn("cat_oh", one_hot("cat", ["a", "b", "c"]))
+    structure = {"feats": ["cat_oh", "x"], "raw_cat": "cat"}
+
+    dense = {
+        r["id"]: r["feats"]
+        for r in bundle(df, structure, keys=("id",)).collect()
+    }
+    sp = bundle_sparse(df, structure, keys=("id",))
+    # str pass-through column untouched, list value sparsified
+    assert dict(sp.dtypes)["raw_cat"] == "string"
+    rows = {r["id"]: r["feats"] for r in sp.collect()}
+    assert rows[1]["size"] == 4 and rows[1]["indices"] == [0, 3]
+    assert rows[2]["indices"] == [1]          # x=0.0 dropped
+    assert rows[3]["indices"] == [3]          # OOV one-hot all zero
+    restored = {
+        r["id"]: r["d"]
+        for r in sp.select("id", to_dense(F.col("feats")).alias("d")).collect()
+    }
+    assert restored == dense
