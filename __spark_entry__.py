@@ -180,6 +180,37 @@ def q_ev_asof_purchase_click(spark, sf_dir):
     )
 
 
+def q_ev_asof_chunked(spark, sf_dir):
+    """The skew-safe two-pass as-of join (asof_join_chunked) on the same
+    purchase←click workload — value-identical to q_ev_asof_purchase_click
+    by construction, so it shares that oracle and gives the chunked
+    operator its own driver-level hash check."""
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    out = asof_join_chunked(
+        purchases,
+        clicks,
+        on=["user_id"],
+        values=["click_value"],
+        strict=True,
+        right_order=("event_id",),
+        chunk_span_s=6 * 3600,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("last_click_value"),
+    )
+
+
 def q_ev_backfill_state(spark, sf_dir):
     """As-of state snapshot at EVERY event (C10): latest strictly-prior
     click/view values carried forward per user."""
@@ -541,6 +572,18 @@ def q_mm_image_features(spark, sf_dir):
     return MM.decode_image_features(assets, fake=True)
 
 
+def q_mm_audio_features(spark, sf_dir):
+    """REAL codec path, not a stub: genuine 16-bit PCM WAV payloads
+    decoded by the stdlib wave module inside mapInPandas (sample rate,
+    duration and RMS come from the actual container/samples)."""
+    assets = MM.synthetic_wav_assets(spark, n=48).repartition(8, "asset_id")
+    out = MM.decode_audio_features(assets, fake=False)
+    return out.select(
+        "asset_id", "sample_rate", "duration_ms", "n_bytes",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_tr_golden_features(spark, sf_dir):
     """Flagship transcript feature DAG over the synthetic transcript table
     (BASELINE.json input_hint shape) — rows-only: transcripts are not a
@@ -582,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_session_aggs": q_ev_session_aggs,
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
+        "ev_asof_chunked": q_ev_asof_chunked,
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
         "ev_type_counts": q_ev_type_counts,
@@ -605,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_lsh_topk": q_emb_lsh_topk,
         "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
         "tr_golden_features": q_tr_golden_features,
     }
 
@@ -735,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
                round(last_click_value, 6) AS last_click_value
         FROM st WHERE event_type = 'purchase'
     """
+
+    sql["ev_asof_chunked"] = sql["ev_asof_purchase_click"]
 
     sql["ev_backfill_state"] = f"""
         SELECT event_id, user_id,

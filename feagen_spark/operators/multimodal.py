@@ -90,6 +90,55 @@ def _dhash64(gray: np.ndarray) -> int:
     return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))
 
 
+def synthetic_wav_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic GENUINE WAV assets (16-bit PCM sine tones built with
+    the stdlib wave writer, Arrow-batched via mapInPandas): payloads are
+    real audio containers, so ``decode_audio_features(fake=False)``
+    exercises the actual codec path end-to-end."""
+    import math
+
+    base = spark.range(n).select(F.col("id").alias("asset_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                sr = 8000 + (aid % 3) * 4000
+                freq = 220.0 * (1 + aid % 8)
+                n_samp = sr // 2  # 500 ms
+                t = np.arange(n_samp) / sr
+                samples = (
+                    np.sin(2 * math.pi * freq * t) * 0.5 * 32767
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(samples.tobytes())
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "kind": "audio",
+                        "payload": buf.getvalue(),
+                        "meta_width": 0,
+                        "meta_height": 0,
+                        "meta_sample_rate": sr,
+                        "meta_duration_ms": 500,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "kind", "payload", "meta_width", "meta_height",
+                "meta_sample_rate", "meta_duration_ms",
+            ])
+
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
 def _fake_decode_bytes(payload: bytes, n_vals: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: derive n_vals uint8 'samples' from the
     payload via blake2b expansion. Stands in for a real codec."""

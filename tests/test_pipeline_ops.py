@@ -359,3 +359,16 @@ def test_multimodal_image_real_path_uses_pil_when_available(spark):
         with pytest.raises(Exception) as ei:
             MM.decode_image_features(assets, fake=False).collect()
         assert "NotImplementedError" in str(ei.value)
+
+
+def test_synthetic_wav_assets_decode_real(spark):
+    """synthetic_wav_assets emits genuine WAV containers; the real
+    decode path recovers the written sample rates and a sine RMS."""
+    import numpy as np
+
+    assets = MM.synthetic_wav_assets(spark, n=6).repartition(2, "asset_id")
+    pdf = MM.decode_audio_features(assets, fake=False).orderBy("asset_id").toPandas()
+    assert len(pdf) == 6
+    assert set(pdf["sample_rate"]) == {8000, 12000, 16000}
+    assert (pdf["duration_ms"] == 500).all()
+    assert np.allclose(pdf["rms"], 0.5 / np.sqrt(2), atol=0.01)
