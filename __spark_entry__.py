@@ -510,6 +510,39 @@ def q_ev_feature_dag(spark, sf_dir):
     )
 
 
+def q_ev_incremental_refresh(spark, sf_dir):
+    """Incremental data refresh (operators/incremental.py) with a value
+    oracle: a synthetic "new batch" (every 97th event) touches a set of
+    users; the operator recomputes features for EXACTLY those users from
+    their full history. The oracle recomputes the same features over the
+    events of the affected users — O(touched), not O(table), yet
+    value-identical to a full recompute restricted to those users."""
+    from feagen_spark.core.dag import FeatureDAG
+    from feagen_spark.core.engine import Engine
+    from feagen_spark.features.events import event_nodes, event_templates
+    from feagen_spark.operators.incremental import refresh_conversations
+
+    ev = _events(spark, sf_dir)
+    new_batch = ev.where(F.col("event_id") % 97 == 0)
+    dag = FeatureDAG(
+        nodes=event_nodes(),
+        templates=event_templates(),
+        input_columns=tuple(ev.columns),
+    )
+    eng = Engine(dag, store=None, keys=("user_id", "event_id"))
+    out = refresh_conversations(
+        eng, ev, new_batch, ["n_so_far", "cum_value", "session_id"],
+        key="user_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_so_far").cast("long").alias("n_so_far"),
+        F.round("cum_value", 6).alias("cum_value"),
+        F.col("session_id").cast("int").alias("session_id"),
+    )
+
+
 def q_doc_lsh_recall(spark, sf_dir):
     """Self-verifying recall for the probabilistic dedup family
     (VERDICT r1 #8): MinHash-LSH candidates at a generous operating
@@ -644,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_feature_dag": q_ev_feature_dag,
         "doc_lsh_recall": q_doc_lsh_recall,
         "doc_sparse_features": q_doc_sparse_features,
+        "ev_incremental_refresh": q_ev_incremental_refresh,
         # rows-only (no SQL oracle by design):
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -995,6 +1029,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(range(0, len(features))) AS INT) AS pos,
                unnest(features) AS value
         FROM bundled
+    """
+
+    sql["ev_incremental_refresh"] = f"""
+        WITH affected AS (
+            SELECT DISTINCT user_id FROM events WHERE event_id % 97 = 0
+        ), sub AS (
+            SELECT e.* FROM events e JOIN affected USING (user_id)
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER ({ev_w}) IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({ev_w})
+                             > {SESSION_GAP_S} * 1000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM sub
+        )
+        SELECT event_id, user_id,
+               count(*) OVER ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS n_so_far,
+               round(coalesce(sum(value) OVER
+                   ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+                   AS cum_value,
+               CAST(sum(is_new) OVER ({ev_w}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                   AS session_id
+        FROM flagged
     """
 
     onehot = ",\n                ".join(

@@ -162,3 +162,41 @@ def test_generator_class_decorators():
     assert by_name["gen_s"].checkpoint
     d = FeatureDAG(nodes=nodes, input_columns=("x",))
     assert d.plan(["s1"]).node_names == ["gen_double", "gen_s"]
+
+
+def test_chained_template_expansion_over_events(spark):
+    """Templates compose: `last_purchase_value_lag_2` expands the LAG
+    template, whose dep `last_purchase_value` expands the as-of-carry
+    template during the ancestor closure — feagen regex keys chain."""
+    from pyspark.sql import functions as F
+
+    from feagen_spark.core.dag import FeatureDAG
+    from feagen_spark.core.engine import Engine
+    from feagen_spark.features.events import event_nodes, event_templates
+
+    ev = spark.createDataFrame(
+        [
+            (i, "u", "purchase" if i % 3 == 0 else "view", float(i))
+            for i in range(12)
+        ],
+        "event_id long, user_id string, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1_000_000))
+
+    dag = FeatureDAG(
+        nodes=event_nodes(),
+        templates=event_templates(),
+        input_columns=tuple(ev.columns),
+    )
+    eng = Engine(dag, store=None, keys=("user_id", "event_id"))
+    out = eng.generate(ev, ["last_purchase_value_lag_2"]).orderBy("event_id")
+    rows = out.select("event_id", "last_purchase_value", "last_purchase_value_lag_2").collect()
+    # last_purchase_value at i: latest purchase value strictly before i
+    # purchases at 0,3,6,9 → carry = 0:None 1:0 2:0 3:0 4:3 5:3 6:3 7:6 ...
+    carry = {r.event_id: r.last_purchase_value for r in rows}
+    lag2 = {r.event_id: r.last_purchase_value_lag_2 for r in rows}
+    assert carry[4] == 3.0 and carry[7] == 6.0 and carry[0] is None
+    for i in range(12):
+        assert lag2[i] == (carry[i - 2] if i >= 2 else None)
+    # both template nodes materialized in the registry
+    assert "last_purchase_value" in dag.nodes
+    assert "last_purchase_value_lag_2" in dag.nodes
