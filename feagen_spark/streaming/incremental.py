@@ -98,6 +98,20 @@ def streaming_rolling_role_counts(
     )
 
 
+def streaming_dedup_turns(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of features/turns.dedup_turns (C14): emit each
+    (conv_id, turn_idx) exactly once. dropDuplicatesWithinWatermark
+    bounds the dedup state — a duplicate arriving later than the
+    watermark horizon ages out of state instead of growing it forever
+    (the 100TB-stream requirement; plain dropDuplicates keys state
+    unboundedly)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def streaming_running_counters(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-conversation turn/tool counters emitted on every micro-batch

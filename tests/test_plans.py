@@ -143,3 +143,36 @@ def test_event_feature_dag_single_shuffle(spark, tmp_path_factory):
     ex = _exchanges(plan)
     assert len(ex) == 1, plan
     assert "user_id" in ex[0]
+
+
+def test_sparse_bundle_is_map_only(spark):
+    """bundle_sparse must add NO exchange and NO Python: pure JVM
+    transform/filter inside the projection."""
+    from feagen_spark.operators.bundle import bundle_sparse, one_hot
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], "id long, cat string, x double"
+    ).withColumn("oh", one_hot("cat", ["a", "b"]))
+    out = bundle_sparse(df, {"feats": ["oh", "x"]}, keys=("id",))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunked_asof_no_cartesian(spark, parquet_transcripts):
+    """The skew-safe as-of must stay union+window shaped: no cartesian
+    product, no sort-merge range join; the carries fixup is a broadcast."""
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    right = parquet_transcripts.select(
+        "conv_id", "turn_idx", "ts", F.length("text").alias("v")
+    )
+    left = parquet_transcripts.select("conv_id", "ts").limit(100)
+    out = asof_join_chunked(
+        left, right, on=["conv_id"], values=["v"], strict=True,
+        right_order=("turn_idx",), chunk_span_s=3600,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -148,3 +148,30 @@ def test_streaming_rolling_counts_runs(spark, stream_dir, tmp_path):
     out = spark.table("roll_counts")
     assert out.count() > 0
     assert set(out.columns) == {"conv_id", "window_start", "role", "n"}
+
+
+def test_streaming_dedup_matches_batch(spark, tiny_transcripts, tmp_path):
+    """Duplicate turns injected into the stream must be emitted exactly
+    once — same row set as the batch dedup guard."""
+    from feagen_spark.datagen.transcripts import with_duplicates
+    from feagen_spark.features.turns import dedup_turns
+
+    dup_df = with_duplicates(tiny_transcripts, every_nth=10)
+    assert dup_df.count() > tiny_transcripts.count()
+    d = str(tmp_path / "dup_stream_in")
+    dup_df.coalesce(2).write.mode("overwrite").parquet(d)
+
+    stream = INC.stream_transcripts(spark, d)
+    INC.run_available_now(
+        INC.streaming_dedup_turns(stream),
+        "dedup_stream",
+        str(tmp_path / "ck_dedup"),
+        output_mode="append",
+    )
+    got = spark.table("dedup_stream")
+    exp = dedup_turns(dup_df)
+    assert got.count() == exp.count() == tiny_transcripts.count()
+    # exactly one row per key
+    assert (
+        got.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+    )
