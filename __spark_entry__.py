@@ -53,14 +53,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
     """documents with an explicit split: the testdata table is ONE
     parquet row-group, and parquet cannot split inside a row-group, so
     every CPU-heavy map stage (shingling, regex profiling, hashing)
     would otherwise run on a single core. The up-front shuffle is a few
     MB here; a real many-file corpus provides input splits for free and
-    wouldn't need this. Measured 2.4x on doc_minhash_pairs at sf0.1."""
-    return _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    wouldn't need this. Measured 2.4x on doc_minhash_pairs at sf0.1.
+    ``where`` filters BEFORE the repartition so subset queries never
+    shuffle rows they are about to drop."""
+    d = _t(spark, sf_dir, "documents")
+    if where is not None:
+        d = d.where(where)
+    return d.repartition(64, "doc_id")
 
 
 def _us(col) -> F.Column:
@@ -392,7 +397,7 @@ def q_doc_dup_audit(spark, sf_dir):
 
 
 def q_doc_ngram_pairs(spark, sf_dir):
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
@@ -552,7 +557,7 @@ def q_doc_lsh_recall(spark, sf_dir):
     shows up as a hash mismatch at the driver. Subset doc_id%2 keeps the
     exact-Jaccard ground truth affordable while containing genuine
     near-dup pairs at every sf."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 2 == 0)
     true_pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).select(
         "id_a", "id_b"
     )
@@ -566,7 +571,15 @@ def q_doc_lsh_recall(spark, sf_dir):
         .select(
             "n_true",
             "n_found",
-            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+            # vacuous recall (no true pairs) = 1.0, matching the oracle's
+            # constant; try_divide avoids the ANSI divide-by-zero crash
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("n_found"), F.col("n_true")),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("recall"),
         )
     )
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..core.spec import FeatureNode, FeatureTemplate
+from ..functions import windowed as W
 
 KEY = "user_id"
 ORDER = ("ts", "event_id")
@@ -30,62 +31,48 @@ def _w():
     return Window.partitionBy(KEY).orderBy(*ORDER)
 
 
-def _w_time():
-    return Window.partitionBy(KEY).orderBy(F.unix_micros(F.col("ts")))
-
+# The frame-sensitive features DELEGATE to functions/windowed.py — one
+# implementation of the leakage-critical frame arithmetic, profiled here
+# for (user_id, (ts, event_id)).
 
 def add_prev_event_type(df: DataFrame) -> DataFrame:
     return df.withColumn("prev_event_type", F.lag("event_type", 1).over(_w()))
 
 
 def add_ts_delta_prev_s(df: DataFrame) -> DataFrame:
-    prev = F.lag("ts", 1).over(_w())
-    return df.withColumn(
-        "ts_delta_prev_s",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / 1_000_000.0,
-    )
+    return W.add_ts_delta(df, KEY, ORDER, "ts", out="ts_delta_prev_s")
 
 
 def add_n_so_far(df: DataFrame) -> DataFrame:
-    w = _w().rowsBetween(Window.unboundedPreceding, -1)
-    return df.withColumn("n_so_far", F.count(F.lit(1)).over(w))
+    return W.add_cumulative(df, KEY, ORDER, F.count(F.lit(1)), "n_so_far")
 
 
 def add_cum_value(df: DataFrame) -> DataFrame:
-    w = _w().rowsBetween(Window.unboundedPreceding, -1)
-    return df.withColumn(
-        "cum_value", F.coalesce(F.sum("value").over(w), F.lit(0.0))
-    )
+    df = W.add_cumulative(df, KEY, ORDER, F.sum("value"), "cum_value")
+    return df.withColumn("cum_value", F.coalesce("cum_value", F.lit(0.0)))
 
 
 def add_value_sum_last_10(df: DataFrame) -> DataFrame:
-    w = _w().rowsBetween(-10, -1)
+    df = W.add_rolling(
+        df, KEY, ORDER, F.sum("value"), "value_sum_last_10", last_n=10
+    )
     return df.withColumn(
-        "value_sum_last_10", F.coalesce(F.sum("value").over(w), F.lit(0.0))
+        "value_sum_last_10", F.coalesce("value_sum_last_10", F.lit(0.0))
     )
 
 
 def add_n_events_600s(df: DataFrame) -> DataFrame:
     """Trailing 600s time frame, strictly before current ts."""
-    w = _w_time().rangeBetween(-600 * 1_000_000, -1)
+    df = W.add_rolling_time(
+        df, KEY, "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
+    )
     return df.withColumn(
-        "n_events_600s", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        "n_events_600s", F.coalesce("n_events_600s", F.lit(0))
     )
 
 
 def add_session_id(df: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
-    prev = F.lag("ts", 1).over(_w())
-    is_new = (
-        F.when(prev.isNull(), F.lit(0))
-        .when(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(prev))
-            > gap_s * 1_000_000,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-    )
-    w_cum = _w().rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn("session_id", F.sum(is_new).over(w_cum).cast("int"))
+    return W.add_session_id(df, KEY, ORDER, "ts", gap_s=gap_s)
 
 
 def make_last_value_template() -> FeatureTemplate:

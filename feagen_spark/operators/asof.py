@@ -184,6 +184,8 @@ def asof_join_chunked(
     right_order: Sequence[str] = (),
     value_prefix: str = "",
     chunk_span_s: int = 3600,
+    chunk_span: int | None = None,
+    broadcast_carries: bool = True,
 ) -> DataFrame:
     """Skew-safe as-of join, value-identical to :func:`asof_join`.
 
@@ -205,20 +207,38 @@ def asof_join_chunked(
     earlier than any row of later chunks. Choose ``chunk_span_s`` so a
     hot key has far more chunks than executor-cores-per-key; empty
     chunks cost nothing (no row, no task).
+
+    Units: for timestamp ordering columns the bucket width is
+    ``chunk_span_s`` seconds. For NUMERIC ordering columns pass
+    ``chunk_span`` — the width in the column's own units (epoch-seconds,
+    row index, ...); guessing would silently mis-size the buckets.
+
+    ``broadcast_carries=False`` drops the broadcast hint on the fixup
+    join — use it when keys × chunks is itself huge (the carries frame
+    then shuffles like a normal join under AQE).
     """
     au = _asof_union(
         left, right, on, left_ts, right_ts, values, strict, right_order,
         value_prefix,
     )
     ord_t = au.u.schema[_ORD].dataType
-    ord_us = (
-        F.unix_micros(F.col(_ORD))
-        if isinstance(ord_t, (T.TimestampType, T.TimestampNTZType))
-        else F.col(_ORD).cast("long")
-    )
-    u = au.u.withColumn(
-        _CHUNK, F.floor(ord_us / F.lit(int(chunk_span_s) * 1_000_000))
-    )
+    if isinstance(ord_t, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ needs an explicit cast: unix_micros only accepts TIMESTAMP
+        ord_num = F.unix_micros(F.col(_ORD).cast("timestamp"))
+        span = (
+            int(chunk_span)
+            if chunk_span is not None
+            else int(chunk_span_s) * 1_000_000
+        )
+    else:
+        if chunk_span is None:
+            raise ValueError(
+                "numeric ordering column: pass chunk_span in the column's "
+                "own units (chunk_span_s is only defined for timestamps)"
+            )
+        ord_num = F.col(_ORD).cast("long")
+        span = int(chunk_span)
+    u = au.u.withColumn(_CHUNK, F.floor(ord_num / F.lit(span)))
 
     order = [F.col(_ORD).asc(), F.col(_SIDE).asc()] + [
         F.col(a).asc() for a in au.ord_aliases
@@ -259,10 +279,13 @@ def asof_join_chunked(
         _CHUNK,
         F.last("__chunk_last", ignorenulls=True).over(w_pfx).alias("__carry"),
     )
-    # carries holds one row per non-empty (key, chunk) — small next to
-    # the data; broadcast keeps the fixup join shuffle-free on the big
-    # side (with very many keys × chunks, drop the hint and let AQE pick)
-    out = within.join(F.broadcast(carries), on=[*au.on, _CHUNK], how="left")
+    # carries holds one row per non-empty (key, chunk) — usually small
+    # next to the data; the broadcast keeps the fixup join shuffle-free
+    # on the big side. broadcast_carries=False when keys × chunks is
+    # itself large (AQE then plans the join normally).
+    if broadcast_carries:
+        carries = F.broadcast(carries)
+    out = within.join(carries, on=[*au.on, _CHUNK], how="left")
     out = out.withColumn(_SNAP, F.coalesce(F.col("__within"), F.col("__carry")))
     return _asof_project(au, out)
 

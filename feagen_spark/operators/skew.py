@@ -51,9 +51,15 @@ def salted_agg(
     count/sum-style partials). Hot keys spread across salt_n reducers.
 
     The salt hashes stable row content (``salt_cols``, default: every
-    column) — NOT monotonically_increasing_id, which changes across task
-    retries/repartitions and would make speculative-execution retries
-    bucket rows differently mid-job.
+    hashable column) — NOT monotonically_increasing_id, which changes
+    across task retries/repartitions and would make speculative-
+    execution retries bucket rows differently mid-job.
+
+    Caveat of any deterministic salt: IDENTICAL rows land in one salt
+    bucket. If a hot key's rows have very few distinct contents, pass
+    ``salt_cols`` naming a high-cardinality column — or pre-aggregate
+    the duplicates first (for associative aggs that is itself the
+    map-side combine Spark already does).
     """
     keys = [key] if isinstance(key, str) else list(key)
     partial = salted_partials(df, keys, partial_aggs, salt_n=salt_n, salt_cols=salt_cols)
@@ -73,7 +79,16 @@ def salted_partials(
 ) -> DataFrame:
     """Phase-1 frame of :func:`salted_agg`: one row per (key, salt).
     Exposed so the retry-stability of the salt is directly testable."""
-    scols = list(salt_cols) if salt_cols is not None else list(df.columns)
+    if salt_cols is not None:
+        scols = list(salt_cols)
+    else:
+        # xxhash64 rejects MapType; default-salt only the hashable columns
+        scols = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+        if not scols:
+            raise ValueError("no hashable columns to salt on; pass salt_cols")
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*scols), F.lit(salt_n))
     )

@@ -85,15 +85,21 @@ class CheckpointStore:
         write action as ``df.observe`` metrics (a pre-write ``df.agg``
         audit would scan — and, uncached, fully recompute — the lineage
         twice; at 100TB that doubles every checkpoint). NaN validation
-        therefore happens post-write: on violation the written files are
-        quarantined (deleted) and the write is REJECTED (reference
-        semantics), so a failed write never becomes a manifest entry.
-        The checksum observed during the write describes exactly the
-        materialized files even for nondeterministic upstreams.
+        therefore happens post-write, against a STAGING path: on
+        violation the staged files are quarantined (deleted) and the
+        write is REJECTED (reference semantics) — any previously valid
+        checkpoint at the same fingerprint, and its manifest entry,
+        survive untouched. Only a validated staging dir is renamed into
+        the final path. The checksum observed during the write describes
+        exactly the materialized files even for nondeterministic
+        upstreams.
         """
+        import shutil
+
         from pyspark.sql import Observation
 
         path = os.path.join(self.root, f"{node_name}-{fingerprint[:16]}")
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
 
         float_cols = (
             [
@@ -115,7 +121,7 @@ class CheckpointStore:
                 F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
             )
         obs = Observation(f"ckpt_audit_{node_name}")
-        df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+        df.observe(obs, *aggs).write.mode("overwrite").parquet(staging)
         audit = obs.get
         if audit_nan:
             bad = {
@@ -124,12 +130,14 @@ class CheckpointStore:
                 if (audit[f"__nan_{c}"] or 0) > 0
             }
             if bad:
-                import shutil
-
-                shutil.rmtree(path, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
                 raise NaNWriteError(
                     f"node {node_name!r}: NaN values rejected on write: {bad}"
                 )
+        # validated: swap staging into place (replace any prior version)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
 
         partitions = self._file_metrics(path, ts_col)
         entry = {

@@ -214,3 +214,45 @@ def test_chunked_asof_right_free_gap_carries(spark):
     )
     assert out[0]["v"] is None
     assert out[1]["v"] == 42.0
+
+
+def test_chunked_asof_accepts_ntz_timestamps(spark, tmp_path):
+    """Driver parquet timestamps arrive as TIMESTAMP_NTZ; the chunked
+    as-of must accept them (unix_micros needs an explicit cast —
+    regression test for a confirmed AnalysisException)."""
+    import datetime as dt
+
+    from feagen_spark.operators.asof import asof_join, asof_join_chunked
+
+    t0 = dt.datetime(2025, 1, 1)
+    right = spark.createDataFrame(
+        [("k", t0, 1, 1.5), ("k", t0 + dt.timedelta(hours=5), 2, 2.5)],
+        "conv_id string, ts timestamp_ntz, turn_idx int, v double",
+    )
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(hours=9))], "conv_id string, ts timestamp_ntz"
+    )
+    kw = dict(on=["conv_id"], values=["v"], strict=True, right_order=("turn_idx",))
+    assert (
+        asof_join_chunked(left, right, chunk_span_s=3600, **kw).first()["v"]
+        == asof_join(left, right, **kw).first()["v"]
+        == 2.5
+    )
+
+
+def test_chunked_asof_numeric_ord_requires_chunk_span(spark):
+    """Numeric ordering columns must pass chunk_span in their own units
+    (guessing would silently collapse the bucketing)."""
+    import pytest as _pytest
+
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    right = spark.createDataFrame(
+        [("k", 10, 1, 1.0)], "conv_id string, ts long, turn_idx int, v double"
+    )
+    left = spark.createDataFrame([("k", 20)], "conv_id string, ts long")
+    kw = dict(on=["conv_id"], values=["v"], right_order=("turn_idx",))
+    with _pytest.raises(ValueError):
+        asof_join_chunked(left, right, **kw)
+    out = asof_join_chunked(left, right, chunk_span=5, **kw)
+    assert out.first()["v"] == 1.0
