@@ -413,6 +413,21 @@ def q_emb_topk(spark, sf_dir):
     return S.cosine_topk(emb, q, k=5)
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (the second scale path next to hyperplane-LSH) run
+    EXHAUSTIVELY (nprobe == n_centroids): every inverted list is probed,
+    so the result provably equals brute force and shares emb_topk's
+    DuckDB oracle — a full value check of the IVF machinery (k-means
+    training, list assignment, probe join, re-rank). Pruned-probe recall
+    is covered by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent = S.train_ivf_centroids(emb, n_centroids=8, seed=42)
+    return S.ivf_topk(emb, q, cent, k=5, nprobe=8)
+
+
 def q_emb_bundle(spark, sf_dir):
     """Bundle op (A9/C15): embedding ++ [l2_norm, label] as one
     array<double>, then EXPLODED to scalar (vec_id, pos, value) rows —
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_audit": q_doc_dup_audit,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "emb_topk": q_emb_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_bundle": q_emb_bundle,
         "ev_feature_dag": q_ev_feature_dag,
         "doc_lsh_recall": q_doc_lsh_recall,
@@ -1025,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
     """
+
+    sql["emb_ivf_topk"] = sql["emb_topk"]
 
     sql["emb_bundle"] = """
         WITH bundled AS (

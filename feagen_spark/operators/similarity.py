@@ -13,6 +13,11 @@
   (n_planes, bands).
 - ``cosine_near_dup_pairs``: embedding near-duplicate detection (cosine
   ≥ τ) via the same banded signatures, corpus×corpus.
+- ``ivf_topk``: the other standard scale path — inverted-file ANN.
+  Deterministic k-means centroids fit driver-side on a bounded sample,
+  corpus assigned to lists in one Arrow map stage, queries probe their
+  nprobe nearest lists, exact re-rank inside candidates. nprobe ==
+  n_centroids degenerates to exact brute force (oracle-checkable).
 """
 
 from __future__ import annotations
@@ -157,6 +162,115 @@ def lsh_topk(
         c_bands.join(F.broadcast(q_bands), on=["band", "bucket"])
         .select(query_id_col, id_col, vec_col, query_vec_col)
         .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    max_sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded sample — model fitting is
+    the one legitimately driver-side step of IVF (at 100TB you fit on a
+    ≤max_sample reservoir; the index build and search stay distributed).
+    Returns L2-normalized centroids (n_centroids, dim): with normalized
+    centroids, cosine ranking reduces to a dot product."""
+    pdf = corpus.select(vec_col).limit(max_sample).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    rng = np.random.RandomState(seed)
+    cent = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
+    for _ in range(iters):
+        sims = Xn @ cent.T                      # (n, k) cosine since both normalized
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return cent
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, top: int):
+    """Arrow-batched: per vector, ids of the `top` nearest centroids by
+    cosine (centroids pre-normalized; one matmul per batch)."""
+    cent = centroids  # broadcast via closure
+
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cent.T
+        idx = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return nearest
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: append the nearest-centroid id (the IVF list each
+    vector belongs to). One Arrow map stage; at scale, write the result
+    partitioned by centroid_id so probes prune at the scan."""
+    nearest1 = _nearest_centroids_udf(centroids, top=1)
+    return corpus.withColumn(
+        "centroid_id", F.element_at(nearest1(F.col(vec_col)), 1)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest inverted
+    lists; candidates = corpus rows in those lists (hash join on
+    centroid_id, query side broadcast); exact cosine re-rank inside the
+    candidate set. nprobe == n_centroids degenerates to exact brute
+    force (the oracle-checkable configuration); recall/cost tunes with
+    nprobe. At 100TB the corpus is stored partitioned by centroid_id so
+    a probe reads only its lists."""
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    probes = _nearest_centroids_udf(centroids, top=nprobe)
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(probes(F.col(query_vec_col))).alias("centroid_id"),
+    )
+    cands = assigned.join(F.broadcast(q), on="centroid_id").select(
+        query_id_col, id_col, vec_col, query_vec_col
     )
     scored = cands.select(
         query_id_col,

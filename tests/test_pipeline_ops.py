@@ -372,3 +372,50 @@ def test_synthetic_wav_assets_decode_real(spark):
     assert set(pdf["sample_rate"]) == {8000, 12000, 16000}
     assert (pdf["duration_ms"] == 500).all()
     assert np.allclose(pdf["rms"], 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_ivf_exhaustive_equals_brute_force(spark, vectors):
+    """nprobe == n_centroids probes every inverted list → IVF must equal
+    exact brute-force top-k row for row."""
+    import pandas as pd
+
+    from feagen_spark.operators import similarity as S
+
+    vectors, _ = vectors
+    q = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent = S.train_ivf_centroids(vectors, n_centroids=8)
+    ivf = (
+        S.ivf_topk(vectors, q, cent, k=5, nprobe=8)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    brute = (
+        S.cosine_topk(vectors, q, k=5).orderBy("query_id", "rank").toPandas()
+    )
+    pd.testing.assert_frame_equal(ivf, brute, check_dtype=False)
+
+
+def test_ivf_centroids_deterministic_and_probe_recall(spark, vectors):
+    """Same seed → identical centroids; pruned probes (nprobe=3 of 8)
+    keep high recall against brute force on the real vectors."""
+    import numpy as np
+
+    from feagen_spark.operators import similarity as S
+
+    vectors, _ = vectors
+    c1 = S.train_ivf_centroids(vectors, n_centroids=8, seed=7)
+    c2 = S.train_ivf_centroids(vectors, n_centroids=8, seed=7)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    q = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = S.ivf_topk(vectors, q, c1, k=5, nprobe=3).toPandas()
+    brute = S.cosine_topk(vectors, q, k=5).toPandas()
+    got = set(zip(ivf.query_id, ivf.vec_id))
+    want = set(zip(brute.query_id, brute.vec_id))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall  # random vectors: queries find themselves + most neighbors
