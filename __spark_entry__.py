@@ -396,6 +396,17 @@ def q_doc_dup_audit(spark, sf_dir):
     )
 
 
+def q_doc_tfidf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF (smooth idf) over a doc subset — emitted
+    as the full pair set (not top-k) so the oracle compare has no
+    dependence on float ordering across ln implementations."""
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 3 == 0)
+    out = TS.tfidf_terms(docs)
+    return out.select(
+        "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
 def q_doc_ngram_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -699,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": q_doc_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_dup_audit": q_doc_dup_audit,
+        "doc_tfidf": q_doc_tfidf,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -982,6 +994,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                count(DISTINCT md5({_NORM})) AS n_unique
         FROM documents GROUP BY lang
+    """
+
+    sql["doc_tfidf"] = """
+        WITH d AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM d
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term != '' GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, count(*) AS dfr FROM tf GROUP BY 1
+        ), nd AS (
+            SELECT count(*) AS n FROM d
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               round(tf * (ln((n + 1.0) / (dfr + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
     """
 
     def ngram_pairs_sql(threshold: float, modulus: int = 5) -> str:

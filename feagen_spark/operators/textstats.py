@@ -17,6 +17,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 # Tiny deterministic stopword lists for the heuristic scorers. These are
 # fixed vocabulary, not a linguistic claim — the oracle uses the same sets.
@@ -188,6 +189,59 @@ def _rolling_hash64_udf():
 
 def add_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("rolling_fp", _rolling_hash64_udf()(F.col(text_col)))
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens, all JVM-side:
+    explode → two groupBys (term frequency per doc; document frequency
+    per term) → broadcast of the 1-row corpus size → smooth idf
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's smoothing, public). ``top_k``
+    keeps the k highest-scoring terms per doc (ties broken by term for
+    determinism).
+
+    Scale shape: tf is a (doc,term) groupBy (map-side combinable);
+    dfreq rides the SAME shuffle key (term) — two shuffles total; the
+    corpus size is a broadcast scalar, never a driver collect."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        scored = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("int"))
+        )
+    return scored
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -419,3 +419,37 @@ def test_ivf_centroids_deterministic_and_probe_recall(spark, vectors):
     want = set(zip(brute.query_id, brute.vec_id))
     recall = len(got & want) / len(want)
     assert recall >= 0.6, recall  # random vectors: queries find themselves + most neighbors
+
+
+def test_tfidf_matches_python_oracle(docs, docs_pdf):
+    """tf, smooth idf and top-k selection vs a plain-python oracle."""
+    import math
+    from collections import Counter
+
+    from feagen_spark.operators import textstats as TS2
+
+    got = TS2.tfidf_terms(docs, top_k=3).toPandas()
+    # python oracle
+    token_lists = {
+        r.doc_id: [t for t in str(r.text).lower().strip().split() if t]
+        for r in docs_pdf.itertuples()
+    }
+    n = len(token_lists)
+    dfreq = Counter()
+    for toks in token_lists.values():
+        dfreq.update(set(toks))
+    for doc_id, toks in token_lists.items():
+        if not toks:
+            continue
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (t, c * (math.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0))
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        sub = got[got.doc_id == doc_id].sort_values("rank")
+        assert list(sub.term) == [t for t, _ in scored], doc_id
+        for (t, s), (_, row) in zip(scored, sub.iterrows()):
+            assert abs(row.tfidf - s) < 1e-9
