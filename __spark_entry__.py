@@ -396,6 +396,33 @@ def q_doc_dup_audit(spark, sf_dir):
     )
 
 
+def q_doc_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (engine-portable md5
+    mode so DuckDB reproduces the identical per-row fold)."""
+    from feagen_spark.operators.cleaning import hash_split
+
+    out = hash_split(
+        _t(spark, sf_dir, "documents"), method="md5",
+        weights={"train": 80, "val": 10, "test": 10},
+    )
+    return out.select("doc_id", "split")
+
+
+def q_doc_scrub_chunks(spark, sf_dir):
+    """Cleaning pipeline composition: PII scrub → fixed-size overlapped
+    chunking (context-window prep), 1→N JVM explode."""
+    from feagen_spark.operators.cleaning import chunk_text, scrub_pii
+
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
+    scrubbed = scrub_pii(docs)
+    chunks = chunk_text(scrubbed, chunk_chars=512, overlap=64)
+    return chunks.select(
+        "doc_id", "chunk_idx",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Per-(doc, term) TF-IDF (smooth idf) over a doc subset — emitted
     as the full pair set (not top-k) so the oracle compare has no
@@ -711,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_dup_audit": q_doc_dup_audit,
         "doc_tfidf": q_doc_tfidf,
+        "doc_hash_split": q_doc_hash_split,
+        "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -994,6 +1023,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                count(DISTINCT md5({_NORM})) AS n_unique
         FROM documents GROUP BY lang
+    """
+
+    sql["doc_hash_split"] = """
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b
+            FROM documents
+        )
+    """
+
+    _scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')"
+    )
+    sql["doc_scrub_chunks"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_scrub} AS t
+            FROM documents WHERE doc_id % 5 = 0
+        ), par AS (
+            SELECT doc_id, t,
+                   greatest(CAST(ceil((length(t) - 64.0) / 448.0) AS INT), 1) AS nc
+            FROM d WHERE length(t) > 0
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, nc)) AS INT) AS chunk_idx,
+               CAST(unnest(list_transform(range(0, nc),
+                    i -> length(substr(t, CAST(i * 448 + 1 AS INT), 512)))) AS BIGINT)
+                   AS chunk_len,
+               unnest(list_transform(range(0, nc),
+                    i -> md5(substr(t, CAST(i * 448 + 1 AS INT), 512))))
+                   AS chunk_md5
+        FROM par
     """
 
     sql["doc_tfidf"] = """

@@ -1,0 +1,121 @@
+"""Corpus cleaning / preparation operators (task brief: large-scale
+training-data pipeline), all JVM-side — map-only or explode-only plans
+that stay in whole-stage codegen:
+
+- ``scrub_pii``: regex redaction of emails / phone numbers / IPv4s.
+  Fixed public patterns, deliberately conservative — a production
+  deployment swaps in its own ruleset; the operator shape (chained
+  regexp_replace, one projection) is the point.
+- ``hash_split``: deterministic train/val/test assignment by content
+  hash — stable across runs, partitionings and cluster sizes (never
+  rand(): a retried task would re-roll rows into different folds).
+- ``chunk_text``: split documents into fixed-size character chunks with
+  overlap (context-window prep). 1→N via sequence+explode, no Python;
+  emits (doc_id, chunk_idx, chunk) with deterministic indices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+) -> DataFrame:
+    """Redact emails, phone-number-like digit runs and IPv4 addresses.
+    Order matters: emails first (their local parts can contain digits),
+    then IPs, then the greedier phone pattern."""
+    out = out_col or text_col
+    t = F.col(text_col)
+    t = F.regexp_replace(t, EMAIL_RE, email_token)
+    t = F.regexp_replace(t, IPV4_RE, ip_token)
+    t = F.regexp_replace(t, PHONE_RE, phone_token)
+    return df.withColumn(out, t)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic fold assignment: a content hash of the id, mod 100,
+    binned by cumulative ``weights`` (percent). Content-hash based →
+    the same row lands in the same fold on every run, every layout,
+    every cluster size; adding rows never reshuffles existing ones
+    (the property rand()/mono_id splits lack).
+
+    method='xxhash64' (default) is the fast JVM path; method='md5' is
+    engine-portable — any system with md5 (DuckDB, Postgres, Python)
+    reproduces the identical assignment, at slightly higher hash cost.
+    md5 ignores ``seed`` (portability means a fixed function)."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100: {weights}")
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(100))
+    elif method == "md5":
+        # first 8 hex chars of md5(id as string) → uint32 → mod 100
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(100),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size character chunks with overlap: chunk i covers
+    [i*stride, i*stride + chunk_chars), stride = chunk_chars - overlap.
+    Pure JVM 1→N (sequence → transform → posexplode); empty docs yield
+    no chunks. Deterministic (doc_id, chunk_idx) identity for downstream
+    dedup/embedding stages."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.when(F.length(t) <= 0, F.lit(0)).otherwise(
+        F.greatest(  # any non-empty doc yields >= 1 chunk
+            F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+            F.lit(1),
+        )
+    )
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(
+        starts, lambda i: t.substr(i * stride + 1, F.lit(chunk_chars))
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_chunks > 0, chunks).otherwise(F.array())
+        ).alias("chunk_idx", "chunk"),
+    )
+    return out.select(
+        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk"
+    )

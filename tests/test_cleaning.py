@@ -1,0 +1,65 @@
+"""Cleaning/prep operators: PII scrub, deterministic splits, chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feagen_spark.operators import cleaning as C
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "clean text stays clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in C.scrub_pii(df).collect()}
+    assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
+    assert "jane" not in got[1] and "555" not in got[1]
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "clean text stays clean"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    s1 = C.hash_split(df).groupBy("split").count().toPandas().set_index("split")["count"]
+    s2 = (
+        C.hash_split(df.repartition(13))
+        .groupBy("split").count().toPandas().set_index("split")["count"]
+    )
+    assert (s1.sort_index() == s2.sort_index()).all()  # layout-independent
+    assert abs(s1["train"] / 10_000 - 0.9) < 0.02
+    assert abs(s1["val"] / 10_000 - 0.05) < 0.02
+    # per-row stability across runs
+    a = C.hash_split(df).orderBy("doc_id").toPandas()["split"]
+    b = C.hash_split(df).orderBy("doc_id").toPandas()["split"]
+    assert (a == b).all()
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(1200))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    got = C.chunk_text(df, chunk_chars=512, overlap=64).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    # doc 1: stride 448 → chunks at 0,448,896 → 3 chunks
+    assert len(by_doc[1]) == 3
+    assert by_doc[1][0] == text[:512]
+    assert by_doc[1][1] == text[448:960]
+    assert by_doc[1][2] == text[896:1200]
+    # overlap: consecutive chunks share exactly 64 chars
+    assert by_doc[1][0][-64:] == by_doc[1][1][:64]
+    # reassembly: stripping the overlap reconstructs the document
+    rebuilt = by_doc[1][0] + "".join(c[64:] for c in by_doc[1][1:])
+    assert rebuilt == text
+    # short doc → one chunk; empty doc → none
+    assert by_doc[2] == ["short"]
+    assert 3 not in by_doc
