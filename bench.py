@@ -48,9 +48,15 @@ HEADLINE = [
     "doc_exact_dedup",
     "doc_minhash_pairs",
     "doc_sparse_features",
+    "doc_tfidf",
+    "doc_hash_split",
+    "doc_scrub_chunks",
     "emb_topk",
+    "emb_ivf_topk",
     "emb_bundle",
     "ev_feature_dag",
+    "ev_asof_chunked",
+    "ev_incremental_refresh",
 ]
 
 GOLDEN_FEATURES = [

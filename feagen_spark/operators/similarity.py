@@ -15,7 +15,8 @@
   ≥ τ) via the same banded signatures, corpus×corpus.
 - ``ivf_topk``: the other standard scale path — inverted-file ANN.
   Deterministic k-means centroids fit driver-side on a bounded sample,
-  corpus assigned to lists in one Arrow map stage, queries probe their
+  corpus assigned to lists in one PURE-JVM map stage (the small centroid
+  matrix inlines as literals — no Python workers), queries probe their
   nprobe nearest lists, exact re-rank inside candidates. nprobe ==
   n_centroids degenerates to exact brute force (oracle-checkable).
 """
@@ -213,21 +214,37 @@ def train_ivf_centroids(
     return cent
 
 
-def _nearest_centroids_udf(centroids: np.ndarray, top: int):
-    """Arrow-batched: per vector, ids of the `top` nearest centroids by
-    cosine (centroids pre-normalized; one matmul per batch)."""
-    cent = centroids  # broadcast via closure
-
-    @pandas_udf("array<int>")
-    def nearest(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (m / norms) @ cent.T
-        idx = np.argsort(-sims, axis=1)[:, :top]
-        return pd.Series([row.astype("int32").tolist() for row in idx])
-
-    return nearest
+def _nearest_centroids(vec_col, centroids: np.ndarray, top: int) -> F.Column:
+    """Ids of the `top` nearest centroids by cosine, PURE JVM: the
+    centroid matrix is small by construction (coarse quantizer), so it
+    inlines as literal arrays and the dot products stay inside
+    whole-stage codegen — no Python workers on the hot path. Ranking by
+    raw dot equals ranking by cosine because centroids are normalized
+    and the vector's own norm is constant across centroids. Ties break
+    on the lower centroid id (deterministic)."""
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-d).alias("nd"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, top), lambda s: s["i"].cast("int")
+    )
 
 
 def ivf_assign(
@@ -236,11 +253,11 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Index build: append the nearest-centroid id (the IVF list each
-    vector belongs to). One Arrow map stage; at scale, write the result
+    vector belongs to). One JVM map stage; at scale, write the result
     partitioned by centroid_id so probes prune at the scan."""
-    nearest1 = _nearest_centroids_udf(centroids, top=1)
     return corpus.withColumn(
-        "centroid_id", F.element_at(nearest1(F.col(vec_col)), 1)
+        "centroid_id",
+        F.element_at(_nearest_centroids(F.col(vec_col), centroids, 1), 1),
     )
 
 
@@ -263,11 +280,12 @@ def ivf_topk(
     nprobe. At 100TB the corpus is stored partitioned by centroid_id so
     a probe reads only its lists."""
     assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
-    probes = _nearest_centroids_udf(centroids, top=nprobe)
     q = queries.select(
         query_id_col,
         query_vec_col,
-        F.explode(probes(F.col(query_vec_col))).alias("centroid_id"),
+        F.explode(
+            _nearest_centroids(F.col(query_vec_col), centroids, nprobe)
+        ).alias("centroid_id"),
     )
     cands = assigned.join(F.broadcast(q), on="centroid_id").select(
         query_id_col, id_col, vec_col, query_vec_col
