@@ -68,6 +68,13 @@ def _docs(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
     return d.repartition(64, "doc_id")
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with an explicit split (same single-row-group issue as
+    _docs): the higher-order-function cosine math runs interpreted, so
+    a one-partition scan pins ~15k per-row folds to one core."""
+    return _t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+
+
 def _us(col) -> F.Column:
     return F.unix_micros(col)
 
@@ -444,7 +451,7 @@ def q_doc_ngram_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_emb_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -458,7 +465,7 @@ def q_emb_ivf_topk(spark, sf_dir):
     DuckDB oracle — a full value check of the IVF machinery (k-means
     training, list assignment, probe join, re-rank). Pruned-probe recall
     is covered by pytest."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -472,7 +479,7 @@ def q_emb_bundle(spark, sf_dir):
     the driver's canonicalizer sorts result columns with pandas, which
     cannot hash array cells; scalar rows keep the same values fully
     hash-checkable (oracle twin: DuckDB parallel unnest)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -659,7 +666,7 @@ def q_doc_simhash(spark, sf_dir):
 
 
 def q_emb_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

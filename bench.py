@@ -162,6 +162,23 @@ def main() -> None:
     if not args.feature_dag_only:
         import __spark_entry__ as E
 
+        # JVM warmup for machinery the feature-DAG leg doesn't touch:
+        # the first higher-order-function evaluation in a process pays
+        # ~3s of classload/JIT (measured on a 1-ROW query) — that's JVM
+        # tax, not query cost, and would otherwise be attributed to
+        # whichever query hits a zip_with/aggregate first.
+        from pyspark.sql import functions as F
+
+        spark.range(1).select(
+            F.aggregate(
+                F.zip_with(
+                    F.array(F.lit(1.0)), F.array(F.lit(2.0)), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).collect()
+
         qs = E.queries()
         total = dag_sec
         for name in HEADLINE:
