@@ -430,6 +430,19 @@ def q_doc_scrub_chunks(spark, sf_dir):
     )
 
 
+def q_doc_dup_ngrams(spark, sf_dir):
+    """Repetitiousness quality signal: duplicated word-n-gram ratio per
+    doc (Gopher-style repetition filter), JVM map-only. n=2 here: the
+    synthetic corpus draws from a ~50-word vocabulary, so bigrams carry
+    real duplicate mass (5-grams are all-distinct → zero signal)."""
+    out = TS.add_dup_ngram_ratio(_docs(spark, sf_dir), n=2)
+    return out.select(
+        "doc_id",
+        F.col("dup_ngram_ratio_n").alias("n_grams"),
+        F.round("dup_ngram_ratio", 6).alias("dup_ratio"),
+    )
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Per-(doc, term) TF-IDF (smooth idf) over a doc subset — emitted
     as the full pair set (not top-k) so the oracle compare has no
@@ -745,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_dup_audit": q_doc_dup_audit,
         "doc_tfidf": q_doc_tfidf,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
         "doc_hash_split": q_doc_hash_split,
         "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
@@ -1030,6 +1044,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                count(DISTINCT md5({_NORM})) AS n_unique
         FROM documents GROUP BY lang
+    """
+
+    sql["doc_dup_ngrams"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, len(toks) - 1 AS k,
+                   list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> array_to_string(list_slice(toks, CAST(i AS INT),
+                                                        CAST(i + 1 AS INT)), ' '))
+                       AS grams
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(greatest(k, 0) AS BIGINT) AS n_grams,
+               round(CASE WHEN k <= 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(grams)) / CAST(k AS DOUBLE)
+                     END, 6) AS dup_ratio
+        FROM g
     """
 
     sql["doc_hash_split"] = """

@@ -191,6 +191,30 @@ def add_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("rolling_fp", _rolling_hash64_udf()(F.col(text_col)))
 
 
+def add_dup_ngram_ratio(
+    df: DataFrame, n: int = 5, text_col: str = "text", out: str = "dup_ngram_ratio"
+) -> DataFrame:
+    """Gopher-style repetitiousness signal: fraction of duplicated
+    word n-grams (1 − distinct/total). Pure JVM: split → indexed
+    slice+join per position → array_distinct; map-only at any scale.
+    Also appends ``{out}_n`` (total n-gram count, 0 for short docs)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+    )
+    ratio = F.when(k <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / k.cast("double")
+    )
+    return df.withColumn(out, ratio).withColumn(
+        f"{out}_n", F.greatest(k, F.lit(0)).cast("long")
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -453,3 +453,26 @@ def test_tfidf_matches_python_oracle(docs, docs_pdf):
         assert list(sub.term) == [t for t, _ in scored], doc_id
         for (t, s), (_, row) in zip(scored, sub.iterrows()):
             assert abs(row.tfidf - s) < 1e-9
+
+
+def test_dup_ngram_ratio(spark):
+    from feagen_spark.operators import textstats as TS3
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e a b c d e"),  # heavy 5-gram repetition
+            (2, "one two three four five six seven"),  # all distinct
+            (3, "too short"),  # fewer tokens than n
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_ngram_ratio, r.dup_ngram_ratio_n)
+        for r in TS3.add_dup_ngram_ratio(df, n=5).collect()
+    }
+    # doc 1: 11 grams, distinct = 5 (cyclic) → ratio 1 - 5/11
+    assert abs(got[1][0] - (1 - 5 / 11)) < 1e-9 and got[1][1] == 11
+    assert got[2] == (0.0, 3)
+    assert got[3] == (0.0, 0)
+    assert got[4] == (0.0, 0)
