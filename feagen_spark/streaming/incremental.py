@@ -147,6 +147,60 @@ def streaming_running_counters(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_asof_state(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the C10 as-of backfill: every arriving turn is
+    emitted enriched with the STRICTLY-PRIOR conversation state
+    (previous role, last tool used) — the state each row would see in a
+    leakage-safe batch backfill.
+
+    Custom stateful operator via applyInPandasWithState: per
+    conversation, rows of each micro-batch are processed in (ts,
+    turn_idx) order and each row observes the state BEFORE itself, then
+    updates it. Within a micro-batch (and for in-order arrival across
+    batches) this matches the batch operator exactly; out-of-order
+    arrivals see the state as of processing time — the standard
+    append-mode streaming caveat (exact late-data semantics need the
+    batch backfill, which is what incremental refresh is for)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, turn_idx int, prev_role string, last_tool string"
+    )
+    state_schema = "last_role string, last_tool string"
+
+    def update(key, pdfs, state: GroupState):
+        last_role, last_tool = state.get if state.exists else (None, None)
+        frames = [pdf for pdf in pdfs]
+        rows = []
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "turn_idx"])
+            for r in batch.itertuples():
+                rows.append(
+                    {
+                        "conv_id": key[0],
+                        "turn_idx": int(r.turn_idx),
+                        "prev_role": last_role,
+                        "last_tool": last_tool,
+                    }
+                )
+                last_role = r.role
+                if r.role == "tool" and r.tool:
+                    last_tool = r.tool
+        state.update((last_role, last_tool))
+        yield pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "prev_role", "last_tool"]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     query_df: DataFrame, name: str, checkpoint: str, output_mode: str = "update"
 ):

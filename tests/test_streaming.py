@@ -175,3 +175,51 @@ def test_streaming_dedup_matches_batch(spark, tiny_transcripts, tmp_path):
     assert (
         got.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
     )
+
+
+def test_streaming_asof_state_matches_batch(spark, tiny_transcripts, tmp_path):
+    """Single-batch drain in arrival order must equal the leakage-safe
+    batch as-of state (prev_role lag + last strictly-prior tool)."""
+    from pyspark.sql.window import Window
+
+    d = str(tmp_path / "asof_state_in")
+    tiny_transcripts.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = INC.stream_transcripts(spark, d)
+    INC.run_available_now(
+        INC.streaming_asof_state(stream),
+        "asof_state",
+        str(tmp_path / "ck_asof"),
+        output_mode="update",
+    )
+    got = (
+        spark.table("asof_state")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    exp = (
+        tiny_transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.lag("role", 1).over(w).alias("prev_role"),
+            F.last(
+                F.when(
+                    (F.col("role") == "tool") & (F.col("tool") != ""),
+                    F.col("tool"),
+                ),
+                ignorenulls=True,
+            ).over(w_prior).alias("last_tool"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["prev_role", "last_tool"]:
+        assert (
+            got[c].fillna("__n__") == exp[c].fillna("__n__")
+        ).all(), c
