@@ -248,33 +248,32 @@ def minhash_lsh_pairs(
         )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    cands = (
+    # score + threshold BEFORE the cross-band dedup: est_jaccard is a
+    # deterministic function of the signatures, so band-duplicates agree
+    # and the distinct shuffles 3 scalars per pair instead of two
+    # k-long signature arrays — and sub-threshold candidates never enter
+    # the dedup shuffle at all.
+    est = (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        cands.withColumn(
-            "est_jaccard",
             F.round(
                 F.size(
                     F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        F.zip_with(
+                            "a.signature", "b.signature", lambda x, y: x == y
+                        ),
                         lambda eq: eq,
                     )
                 )
                 / F.lit(float(k)),
                 6,
-            ),
+            ).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return est
 
