@@ -229,17 +229,23 @@ def tfidf_terms(
     determinism).
 
     Scale shape: tf is a (doc,term) groupBy (map-side combinable);
-    dfreq rides the SAME shuffle key (term) — two shuffles total; the
-    corpus size is a broadcast scalar, never a driver collect."""
+    document frequency is a COUNT WINDOW over the term partitioning of
+    tf — no self-join, no recompute of the tf aggregate, two data
+    shuffles total. The corpus size is a broadcast 1-row aggregate,
+    never a driver collect. Hot terms (stopwords) concentrate one
+    partition's window; their tf rows are already one-per-doc, so the
+    hot partition is bounded by n_docs, not token count."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    w_term = Window.partitionBy("term").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, on="term")
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
