@@ -100,7 +100,10 @@ def chunk_text(
         raise ValueError("need 0 <= overlap < chunk_chars")
     stride = chunk_chars - overlap
     t = F.col(text_col)
-    n_chunks = F.when(F.length(t) <= 0, F.lit(0)).otherwise(
+    # NULL text must be checked explicitly: length(NULL) <= 0 is NULL
+    # (not true), and greatest(NULL, 1) = 1 would emit a phantom
+    # (doc_id, 0, NULL) chunk row
+    n_chunks = F.when(t.isNull() | (F.length(t) <= 0), F.lit(0)).otherwise(
         F.greatest(  # any non-empty doc yields >= 1 chunk
             F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride)).cast("int"),
             F.lit(1),

@@ -202,7 +202,9 @@ def minhash_lsh_pairs(
 
     rows-per-band r = k/bands; a pair lands in a bucket iff one band of
     their signatures agrees (P ≈ 1-(1-j^r)^bands). Candidates are
-    deduped across bands before scoring.
+    scored and thresholded FIRST, then deduped across bands — the
+    estimate is deterministic per pair, so band-duplicates agree, and
+    the dedup shuffle carries scalars instead of signature arrays.
 
     ``max_bucket`` drops oversized buckets from pair generation: a
     bucket with B members yields B² pair candidates, so one giant

@@ -52,19 +52,19 @@ def _cos(a, b) -> F.Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
-def cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
+def _topk_rerank(
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: returns (query_id, vec_id, cosine,
-    rank) with rank 1..k per query, ties broken by id for determinism."""
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+    """Shared exact re-rank tail for every ANN variant: cosine rounded
+    to 6dp (oracle alignment), rank 1..k per query with ties broken by
+    id for determinism. ONE definition so the oracle conventions cannot
+    drift between the brute-force / LSH / IVF paths."""
+    scored = cands.select(
         query_id_col,
         id_col,
         F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
@@ -77,6 +77,22 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: returns (query_id, vec_id, cosine,
+    rank) with rank 1..k per query, ties broken by id for determinism."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    cands = corpus.select(id_col, vec_col).crossJoin(q)
+    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def _make_signer(dim: int, n_planes: int, seed: int):
@@ -164,19 +180,7 @@ def lsh_topk(
         .select(query_id_col, id_col, vec_col, query_vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cands.select(
-        query_id_col,
-        id_col,
-        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 # -- IVF (inverted-file) ANN ---------------------------------------------------
@@ -193,8 +197,19 @@ def train_ivf_centroids(
     the one legitimately driver-side step of IVF (at 100TB you fit on a
     ≤max_sample reservoir; the index build and search stay distributed).
     Returns L2-normalized centroids (n_centroids, dim): with normalized
-    centroids, cosine ranking reduces to a dot product."""
-    pdf = corpus.select(vec_col).limit(max_sample).toPandas()
+    centroids, cosine ranking reduces to a dot product.
+
+    The sample is ordered by a content hash before limit(): a bare
+    limit() takes whatever rows arrive first, which varies with shuffle
+    fetch order and layout — centroids would then differ across runs,
+    silently desynchronizing a persisted ivf_assign index from later
+    retrainings."""
+    pdf = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(vec_col))
+        .limit(max_sample)
+        .toPandas()
+    )
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -290,19 +305,7 @@ def ivf_topk(
     cands = assigned.join(F.broadcast(q), on="centroid_id").select(
         query_id_col, id_col, vec_col, query_vec_col
     )
-    scored = cands.select(
-        query_id_col,
-        id_col,
-        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def cosine_near_dup_pairs(

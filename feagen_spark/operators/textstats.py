@@ -31,6 +31,17 @@ LANG_MARKERS = {
 PUNCT_CLASS = r"[^.,;:!?]"
 
 
+def _ws_tokens(col) -> F.Column:
+    """Canonical whitespace tokenizer (lower → trim → split \\s+ → drop
+    empties). ONE definition shared by tfidf_terms and
+    add_dup_ngram_ratio: both have DuckDB oracles pinned to exactly
+    regexp_split_to_array(lower(trim(text)), '\\s+'), so the two Spark
+    copies must never drift apart."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+    )
+
+
 def _token_count(col) -> F.Column:
     t = F.trim(col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
@@ -198,10 +209,7 @@ def add_dup_ngram_ratio(
     word n-grams (1 − distinct/total). Pure JVM: split → indexed
     slice+join per position → array_distinct; map-only at any scale.
     Also appends ``{out}_n`` (total n-gram count, 0 for short docs)."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
-    )
+    toks = _ws_tokens(F.col(text_col))
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -236,9 +244,8 @@ def tfidf_terms(
     partition's window; their tf rows are already one-per-doc, so the
     hot partition is bounded by n_docs, not token count."""
     toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
-    ).where(F.col("term") != "")
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("term")
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     w_term = Window.partitionBy("term").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -63,3 +63,13 @@ def test_chunk_text_coverage_and_overlap(spark):
     # short doc → one chunk; empty doc → none
     assert by_doc[2] == ["short"]
     assert 3 not in by_doc
+
+
+def test_chunk_text_null_text_yields_no_rows(spark):
+    """NULL text must behave like empty text (no phantom NULL-chunk row
+    — regression test: greatest(NULL, 1) evaluated to 1)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello")], "doc_id long, text string"
+    )
+    got = C.chunk_text(df, chunk_chars=8, overlap=2).collect()
+    assert len(got) == 1 and got[0].doc_id == 2
