@@ -158,10 +158,15 @@ def _list_output_names(structure: Structure, prefix: str) -> set[str]:
 
 def one_hot(col: Column | str, vocabulary: Sequence[str]) -> Column:
     """Fixed-vocabulary one-hot encoding as array<double> (JVM-side;
-    out-of-vocabulary rows encode as all zeros). Materialize it as a
-    column and list it in a bundle structure; with ``bundle_sparse`` the
-    stored block is nnz-sized."""
+    out-of-vocabulary AND NULL categories encode as all zeros — without
+    the coalesce, NULL == lit(v) is NULL for every position, handing
+    dense-path consumers an all-NULL array). Materialize it as a column
+    and list it in a bundle structure; with ``bundle_sparse`` the stored
+    block is nnz-sized."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array(
-        *[(c == F.lit(v)).cast("double") for v in vocabulary]
+        *[
+            F.coalesce((c == F.lit(v)).cast("double"), F.lit(0.0))
+            for v in vocabulary
+        ]
     )

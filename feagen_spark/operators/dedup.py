@@ -362,6 +362,9 @@ def simhash_near_dup_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the cross-chunk dedup: hamming is deterministic
+        # per pair, so chunk-duplicates agree and far candidates never
+        # enter the distinct shuffle at all
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -83,8 +83,10 @@ def _pil():
 
 
 def _dhash64(gray: np.ndarray) -> int:
-    """64-bit difference hash over an 8x9 grayscale grid (standard
-    perceptual dHash: bit = left pixel brighter than right neighbor)."""
+    """64-bit difference hash over an 8x9 grayscale grid (perceptual
+    dHash: bit = RIGHT pixel brighter than its left neighbor,
+    gray[:,1:] > gray[:,:-1] — note the convention when comparing
+    against external dHash implementations, some use the inverse)."""
     bits = (gray[:, 1:] > gray[:, :-1]).ravel()[:64]
     weights = 1 << np.arange(bits.size, dtype=np.uint64)
     return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))

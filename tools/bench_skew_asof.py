@@ -39,7 +39,9 @@ def main() -> None:
         app_name="bench_skew_asof",
         extra_conf={"spark.driver.memory": "48g"},
     )
-    path = f"/tmp/feagen_skew_{args.giant_turns}"
+    # cache key must carry EVERY generation parameter: keying on
+    # giant_turns alone silently reuses data built under an old --n-conv
+    path = f"/tmp/feagen_skew_{args.giant_turns}_{args.n_conv}"
     if not Path(path, "_SUCCESS").exists():
         transcripts(
             spark, n_conv=args.n_conv, giant_convs=1,
