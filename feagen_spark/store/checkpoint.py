@@ -34,41 +34,83 @@ class NaNWriteError(ValueError):
 
 
 class CheckpointStore:
+    """Manifest = one JSON file PER FINGERPRINT under ``manifest.d/``,
+    each written atomically (tmp + rename). The realistic 100 TB
+    deployment runs one engine per feature job, so several writers
+    checkpoint into the same store concurrently; a single shared
+    manifest.json with read-modify-write loses entries under that race
+    (writer A's rewrite drops writer B's entry). Per-entry files make
+    concurrent writes commutative with no lock: the fingerprint is the
+    filename, distinct fingerprints never touch each other, and a
+    same-fingerprint race is idempotent (both writers produced the same
+    logical table). ``manifest.json`` from older stores is still read
+    (compat), never rewritten."""
+
     def __init__(self, root: str, table_format: str = "parquet") -> None:
         self.root = root
         self.table_format = table_format
-        os.makedirs(root, exist_ok=True)
-        self.manifest_path = os.path.join(root, "manifest.json")
+        self.manifest_dir = os.path.join(root, "manifest.d")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.legacy_manifest_path = os.path.join(root, "manifest.json")
 
     # -- manifest -------------------------------------------------------------
+    def _entry_path(self, fingerprint: str) -> str:
+        return os.path.join(self.manifest_dir, f"{fingerprint}.json")
+
     def _load_manifest(self) -> dict:
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                return json.load(f)
-        return {}
+        """Full manifest view (audits/tooling). Entry files win over any
+        legacy combined manifest.json."""
+        m: dict = {}
+        if os.path.exists(self.legacy_manifest_path):
+            with open(self.legacy_manifest_path) as f:
+                m.update(json.load(f))
+        for fn in sorted(os.listdir(self.manifest_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, fn)) as f:
+                    e = json.load(f)
+                m[e["fingerprint"]] = e
+        return m
 
-    def _save_manifest(self, m: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
+    def _save_entry(self, entry: dict) -> None:
+        path = self._entry_path(entry["fingerprint"])
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.manifest_path)
-
-    def exists(self, fingerprint: str) -> bool:
-        entry = self._load_manifest().get(fingerprint)
-        return entry is not None and os.path.exists(entry["path"])
+            json.dump(entry, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
     def entry(self, fingerprint: str) -> dict | None:
-        return self._load_manifest().get(fingerprint)
+        p = self._entry_path(fingerprint)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        if os.path.exists(self.legacy_manifest_path):
+            with open(self.legacy_manifest_path) as f:
+                return json.load(f).get(fingerprint)
+        return None
+
+    def exists(self, fingerprint: str) -> bool:
+        entry = self.entry(fingerprint)
+        return entry is not None and os.path.exists(entry["path"])
 
     def invalidate(self, fingerprint: str) -> None:
-        m = self._load_manifest()
-        if fingerprint in m:
-            del m[fingerprint]
-            self._save_manifest(m)
+        p = self._entry_path(fingerprint)
+        if os.path.exists(p):
+            os.remove(p)
+        if os.path.exists(self.legacy_manifest_path):
+            with open(self.legacy_manifest_path) as f:
+                m = json.load(f)
+            if fingerprint in m:
+                del m[fingerprint]
+                tmp = self.legacy_manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(m, f, indent=1, sort_keys=True)
+                os.replace(tmp, self.legacy_manifest_path)
 
     # -- read/write -----------------------------------------------------------
     def read(self, spark: SparkSession, fingerprint: str) -> DataFrame:
-        entry = self._load_manifest()[fingerprint]
+        entry = self.entry(fingerprint)
+        if entry is None:
+            raise KeyError(fingerprint)
         return spark.read.parquet(entry["path"])
 
     def write(
@@ -99,7 +141,8 @@ class CheckpointStore:
         from pyspark.sql import Observation
 
         path = os.path.join(self.root, f"{node_name}-{fingerprint[:16]}")
-        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        staging = f"{path}.staging-{token}"
 
         float_cols = (
             [
@@ -121,23 +164,33 @@ class CheckpointStore:
                 F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
             )
         obs = Observation(f"ckpt_audit_{node_name}")
-        df.observe(obs, *aggs).write.mode("overwrite").parquet(staging)
-        audit = obs.get
-        if audit_nan:
-            bad = {
-                c: audit[f"__nan_{c}"]
-                for c in float_cols
-                if (audit[f"__nan_{c}"] or 0) > 0
-            }
-            if bad:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise NaNWriteError(
-                    f"node {node_name!r}: NaN values rejected on write: {bad}"
-                )
-        # validated: swap staging into place (replace any prior version)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        try:
+            df.observe(obs, *aggs).write.mode("overwrite").parquet(staging)
+            audit = obs.get
+            if audit_nan:
+                bad = {
+                    c: audit[f"__nan_{c}"]
+                    for c in float_cols
+                    if (audit[f"__nan_{c}"] or 0) > 0
+                }
+                if bad:
+                    raise NaNWriteError(
+                        f"node {node_name!r}: NaN values rejected on write: {bad}"
+                    )
+            # validated: swap staging into place. Crash-safe ordering
+            # (ADVICE r2): the prior version is renamed ASIDE first, so at
+            # no instant does the manifest point at a deleted directory —
+            # a crash leaves either the old table (rename pending) or the
+            # new one (old copy leaked aside, cleaned last).
+            old = f"{path}.old-{token}"
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            # any failure above (write error, NaN rejection, rename race)
+            # must not leak the staging dir
+            shutil.rmtree(staging, ignore_errors=True)
 
         partitions = self._file_metrics(path, ts_col)
         entry = {
@@ -152,9 +205,7 @@ class CheckpointStore:
             "columns": df.columns,
             "partitions": partitions,
         }
-        m = self._load_manifest()
-        m[fingerprint] = entry
-        self._save_manifest(m)
+        self._save_entry(entry)
         return entry
 
     @staticmethod

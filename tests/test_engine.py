@@ -299,3 +299,74 @@ def test_bundle_sparse_roundtrip_and_nnz(spark):
         for r in sp.select("id", to_dense(F.col("feats")).alias("d")).collect()
     }
     assert restored == dense
+
+
+def test_concurrent_checkpoint_writers_lose_nothing(spark, tmp_path):
+    """Two engines checkpointing into the same store concurrently (the
+    realistic per-feature-job deployment) must not lose each other's
+    manifest entries — per-fingerprint entry files make writes
+    commutative with no lock (VERDICT r2 #5)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_conc")
+    errs = []
+
+    def writer(tag: str) -> None:
+        try:
+            store = CheckpointStore(root)  # own instance, shared root
+            df = spark.range(50).select(
+                F.col("id").alias("conv_id"),
+                (F.col("id") * 2).cast("double").alias(f"v_{tag}"),
+            )
+            store.write(df, f"fp_{tag}" * 4, f"node_{tag}")
+        except Exception as e:  # surfaced below — thread exceptions vanish
+            errs.append((tag, e))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+
+    reader = CheckpointStore(root)
+    for tag in "ab":
+        fp = f"fp_{tag}" * 4
+        assert reader.exists(fp), f"entry for {tag} lost"
+        assert reader.read(spark, fp).count() == 50
+    assert len(reader._load_manifest()) == 2
+
+
+def test_rejected_rewrite_keeps_prior_checkpoint_and_leaves_no_staging(
+    spark, tmp_path
+):
+    """A NaN-rejected REWRITE of an existing fingerprint must leave the
+    prior valid checkpoint (files + entry) untouched and leak neither a
+    staging nor an old-version directory (ADVICE r2 crash-safety)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feagen_spark.store.checkpoint import NaNWriteError
+
+    root = str(tmp_path / "ck_swap")
+    store = CheckpointStore(root)
+    good = spark.range(10).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    store.write(good, "fp_swap", "node_swap")
+
+    bad = good.withColumn("v", F.lit(float("nan")))
+    with pytest.raises(NaNWriteError):
+        store.write(bad, "fp_swap", "node_swap")
+
+    assert store.exists("fp_swap")
+    assert store.read(spark, "fp_swap").where(F.isnan("v")).count() == 0
+    leftovers = [
+        p
+        for p in os.listdir(root)
+        if ".staging-" in p or ".old-" in p
+    ]
+    assert leftovers == [], f"leaked dirs: {leftovers}"
