@@ -704,16 +704,22 @@ def q_emb_lsh_recall(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_doc_minhash_pairs(spark, sf_dir):
-    # near-dup operating point τ=0.8; max_bucket bounds the candidate
-    # join against the corpus's giant template clusters (one B-member
-    # bucket otherwise yields B² candidates)
+    """Oracle-backed since r3: hash_mode='md5' makes the KM base hash
+    engine-portable, so DuckDB recomputes the full signatures, band
+    keys, bucket cap, and estimated Jaccard bit-for-bit. Near-dup
+    operating point τ=0.8; max_bucket bounds the candidate join against
+    the corpus's giant template clusters (one B-member bucket otherwise
+    yields B² candidates)."""
     return D.minhash_lsh_pairs(
         _docs(spark, sf_dir), k=32, bands=8, threshold=0.8,
-        max_bucket=200,
+        max_bucket=200, hash_mode="md5",
     )
 
 
 def q_doc_simhash(spark, sf_dir):
+    """Oracle-backed since r3: the token hash is md5-derived (first 8
+    bytes of md5(token), big-endian), so DuckDB recomputes the exact
+    64-bit SimHash — including the signed bit-63 packing — per row."""
     return D.add_simhash(_docs(spark, sf_dir)).select(
         "doc_id", "simhash"
     )
@@ -1110,6 +1116,39 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
 
+    # SimHash: recompute the 64-bit sketch in SQL — md5-derived token
+    # hash (first 16 hex chars as UBIGINT), per-bit ±1 sums over token
+    # OCCURRENCES (multiplicity counts), bit set iff sum > 0, packed as
+    # signed int64 (bit 63 contributes -2^63). Docs with no tokens → 0
+    # (NULL bit sums fail every `> 0` test).
+    _bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    _packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    sql["doc_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x != '')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+            FROM toks
+        ), b AS (
+            SELECT doc_id, {_bitsums} FROM h GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(({_packed})
+                    - (CASE WHEN b63 > 0 THEN {1 << 63} ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM documents d LEFT JOIN b USING (doc_id)
+    """
+
     sql["doc_hash_split"] = """
         SELECT doc_id,
                CASE WHEN b < 80 THEN 'train'
@@ -1198,6 +1237,65 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["doc_ngram_pairs"] = ngram_pairs_sql(0.5)
+
+    # MinHash-LSH pairs, recomputed END-TO-END in SQL (hash_mode='md5'):
+    # KM base hash from md5('42' || shingle) hex halves (h2 forced odd),
+    # g_i = (h1 + i*h2) mod 2^32, 32 min-aggregates → signature; band
+    # keys are the EXACT 4-slice tuples (Spark buckets by xxhash64 of
+    # the slice — equal modulo 2^-64 collisions, and any pair at est ≥
+    # 0.8 has ≥ 26 equal positions ⇒ ≤ 6 unequal ⇒ by pigeonhole ≥ 2
+    # fully-equal bands, so the two groupings emit identical pairs);
+    # same >200 bucket cap; est = equal-position fraction.
+    _mh_mins = ", ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS mh{i}" for i in range(32)
+    )
+    _mh_keys = ", ".join(
+        "concat_ws(',', " + ", ".join(f"mh{4 * b + j}" for j in range(4)) + ")"
+        for b in range(8)
+    )
+    _mh_eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    sql["doc_minhash_pairs"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+                              i -> substr(t, CAST(i AS INT), 3))) AS shingle
+                FROM d
+            ) WHERE length(shingle) = 3
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5('42' || shingle), 1, 8)) AS UBIGINT)
+                       AS h1,
+                   CAST(('0x' || substring(md5('42' || shingle), 9, 8)) AS UBIGINT)
+                       | 1 AS h2
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, {_mh_mins} FROM h GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, 8)) AS INT) AS band,
+                   unnest([{_mh_keys}]) AS key
+            FROM sig
+        ), hot AS (
+            SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 200
+        ), cold AS (
+            SELECT b.* FROM bands b ANTI JOIN hot USING (band, key)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cold a JOIN cold b USING (band, key)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, est_jaccard FROM (
+            SELECT id_a, id_b, round(({_mh_eq}) / 32.0, 6) AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+        ) WHERE est_jaccard >= 0.8
+    """
 
     # recall oracle: the LSH operating point (k=64, bands=32) catches a
     # j>=0.9 pair with probability 1-(1-j^2)^32 >= 1-1e-23 — recall over

@@ -158,6 +158,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """k-permutation MinHash: ONE groupBy over exploded shingles; the k
     mins are computed as k map-side-combinable aggregates (no UDF).
@@ -165,15 +166,33 @@ def minhash_signatures(
     Kirsch-Mitzenmacher: instead of k independent xxhash64 calls per
     shingle (k× the hashing cost), hash each shingle ONCE and derive the
     k functions as g_i = (h1 + i*h2) mod 2^32 from the two 32-bit halves
-    — same LSH guarantees (pairwise-independent family), ~k× less
-    hashing. Arithmetic stays within int64 (max ≈ 2^37), safe under
-    ANSI overflow checking."""
+    — empirically equivalent recall to k independent hashes for MinHash
+    at far less hashing cost (the formal KM guarantee is for Bloom
+    filters; the derived g_i are not a fully pairwise-independent
+    family). h2 is forced ODD (ADVICE r2): an even h2 shares factors
+    with the 2^32 modulus, correlating the derived functions on low
+    bits, and h2 = 0 would collapse all k mins to h1. Arithmetic stays
+    within int64 (max ≈ 2^37), safe under ANSI overflow checking.
+
+    ``hash_mode``: ``"xxh64"`` (default, fastest JVM hash) or ``"md5"``
+    — engine-portable: h1/h2 are the first/second 8 hex chars of
+    md5(seed || shingle), so an external engine (the DuckDB oracle, a
+    Trino/Flink consumer) can reproduce signatures bit-for-bit."""
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
-    base = F.xxhash64(F.lit(seed), F.col("shingle"))
+    if hash_mode == "md5":
+        hx = F.md5(F.concat(F.lit(str(seed)), F.col("shingle")))
+        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    elif hash_mode == "xxh64":
+        base = F.xxhash64(F.lit(seed), F.col("shingle"))
+        h1 = F.shiftrightunsigned(base, 32)
+        h2 = base.bitwiseAND(F.lit(_MH_MASK))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     sh = sh.select(
         id_col,
-        F.shiftrightunsigned(base, 32).alias("__h1"),
-        base.bitwiseAND(F.lit(_MH_MASK)).alias("__h2"),
+        h1.alias("__h1"),
+        h2.bitwiseOR(F.lit(1)).alias("__h2"),
     )
     mins = [
         F.min(
@@ -197,6 +216,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     max_bucket: int | None = 500,
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-estimated Jaccard.
 
@@ -216,7 +236,10 @@ def minhash_lsh_pairs(
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sig = minhash_signatures(df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed)
+    sig = minhash_signatures(
+        df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
+        hash_mode=hash_mode,
+    )
 
     # carry the signature THROUGH the band explode: the candidate join then
     # yields (sig_a, sig_b) directly — no join-back to the signature frame,
@@ -294,30 +317,40 @@ def _simhash64_udf():
 
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
+    """Batch-vectorized SimHash (VERDICT r2 #4): tokens are hashed ONCE
+    PER UNIQUE TOKEN per Arrow batch (md5 → first 8 bytes, big-endian —
+    process-independent AND engine-portable: DuckDB's md5() reproduces
+    it, so doc_simhash carries a full value oracle), then the per-doc
+    ±1 bit sums run as one numpy scatter-add over the whole batch — no
+    per-doc Python loop, no per-occurrence hashing. Token multiplicity
+    counts (each occurrence contributes ±1 per bit). Empty/NULL text →
+    0."""
     import hashlib
 
-    def stable_h64(t: str) -> int:
-        # process-independent (python hash() varies with PYTHONHASHSEED)
-        return int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-
-    def sh(s: str) -> int:
-        toks = s.lower().split()
-        if not toks:
-            return 0
-        hs = np.array([stable_h64(t) for t in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if v[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out.astype(np.int64))
-
-    return texts.fillna("").map(sh).astype("int64")
+    tok_lists = [s.lower().split() for s in texts.fillna("")]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = [t for toks in tok_lists for t in toks]
+    if not flat:
+        return pd.Series(np.zeros(len(texts), dtype=np.int64))
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    )
+    pm = 2 * bits - 1                                     # (n_unique, 64) of ±1
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    np.add.at(acc, doc_idx, pm[inv])
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    packed = ((acc > 0).astype(np.uint64) * weights).sum(axis=1)
+    return pd.Series(packed.view(np.int64))
 
 
 def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
