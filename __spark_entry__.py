@@ -662,6 +662,57 @@ def q_doc_lsh_recall(spark, sf_dir):
     )
 
 
+def q_ev_session_aggs_streaming(spark, sf_dir):
+    """Structured-Streaming twin of ev_session_aggs with the SAME DuckDB
+    oracle (VERDICT r2 #6): the events parquet is drained through a real
+    streaming query (file source → watermark → session_window →
+    availableNow into a memory sink), then session ordinals are assigned
+    batch-side (row_number over session_start — the streaming engine has
+    no per-key ordinal concept). Window-end inclusivity (split at delta >
+    gap) matches the batch sessionizer on Spark 4, so the drained result
+    is row-identical to the batch oracle."""
+    import tempfile
+    import uuid
+
+    from feagen_spark.streaming.incremental import (
+        run_available_now,
+        streaming_session_value_aggs,
+    )
+
+    static = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        # file source needs a directory/glob; the [p] glob matches only
+        # events.parquet without making the path a literal file
+        .parquet(f"{sf_dir}/events.[p]arquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    aggs = streaming_session_value_aggs(
+        stream, key="user_id", ts_col="ts", value_col="value",
+        gap_s=SESSION_GAP_S,
+    )
+    name = f"ev_sess_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        aggs, name, tempfile.mkdtemp(prefix="ckpt_stream_"),
+        output_mode="complete",
+    )
+    res = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return res.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("int").alias("session_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        _us(F.col("session_start")).alias("session_start_us"),
+        _us(F.col("session_end")).alias("session_end_us"),
+        F.round(
+            (_us(F.col("session_end")) - _us(F.col("session_start")))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("duration_s"),
+        F.round("session_value", 6).alias("session_value"),
+    )
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """Self-verifying recall for hyperplane-LSH ANN (VERDICT r2 #1,
     doc_lsh_recall pattern): at the generous operating point bands ==
@@ -817,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": q_emb_lsh_recall,
         "doc_sparse_features": q_doc_sparse_features,
         "ev_incremental_refresh": q_ev_incremental_refresh,
+        "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
         # rows-only (no SQL oracle by design):
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -938,6 +990,9 @@ def oracle_sql() -> dict[str, str]:
         FROM sessions
         GROUP BY user_id, session_id
     """
+
+    # the streaming drain must be row-identical to the batch sessionizer
+    sql["ev_session_aggs_streaming"] = sql["ev_session_aggs"]
 
     sql["ev_asof_purchase_click"] = f"""
         WITH st AS (
