@@ -82,6 +82,20 @@ def _pil():
         return None
 
 
+def _pyav():
+    """Optional-import video codec: returns the ``av`` (PyAV) module or
+    None — same auto-upgrade pattern as ``_pil``. Executors resolve this
+    per-batch, so a cluster image with PyAV installed decodes real
+    containers with no code change; this sandbox has no video codec, so
+    in-sandbox the real path stays a declared stub."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
 def _dhash64(gray: np.ndarray) -> int:
     """64-bit difference hash over an 8x9 grayscale grid (perceptual
     dHash: bit = RIGHT pixel brighter than its left neighbor,
@@ -329,19 +343,67 @@ def resize_images(
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def _real_frame_rows(av, asset_id: int, payload: bytes, every_ms: int) -> list[dict]:
+    """Real-codec frame sampling for ONE asset (unit-testable without an
+    executor): decode the container with PyAV, keep the first frame at or
+    past each every_ms tick, reformat to the 9x8 grayscale dHash grid in
+    the codec (no PIL dependency), emit (frame_idx, frame_ts_ms,
+    frame_phash) rows."""
+    import io
+
+    rows = []
+    container = av.open(io.BytesIO(payload))
+    stream = container.streams.video[0]
+    next_ts, fi = 0.0, 0
+    for frame in container.decode(stream):
+        t_ms = float(frame.time or 0.0) * 1000.0
+        if t_ms + 1e-6 < next_ts:
+            continue
+        grid = np.asarray(
+            frame.reformat(width=9, height=8, format="gray").to_ndarray(),
+            dtype=np.int16,
+        )
+        rows.append(
+            {
+                "asset_id": int(asset_id),
+                "frame_idx": fi,
+                "frame_ts_ms": int(round(t_ms)),
+                "frame_phash": _dhash64(grid),
+            }
+        )
+        fi += 1
+        next_ts += every_ms
+    return rows
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 250, fake: bool = False
 ) -> DataFrame:
     """Frame sampling: EXPLODES rows (one output row per sampled frame) —
-    demonstrates the 1→N mapInPandas batch shape used for video."""
+    demonstrates the 1→N mapInPandas batch shape used for video. The
+    real path auto-upgrades via optional-import PyAV (``_pyav``, same
+    pattern as PIL images); without a codec it raises
+    NotImplementedError unless fake=True."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = None if fake else _pyav()
         for pdf in batches:
-            if not fake:
+            if not fake and av is None:
                 raise NotImplementedError(
-                    "video codec not available in this environment; "
+                    "video codec not available in this environment "
+                    "(optional dependency PyAV not importable); "
                     "pass fake=True for the deterministic stub decoder"
                 )
+            if not fake:
+                rows = []
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    rows.extend(
+                        _real_frame_rows(av, int(aid), bytes(payload), every_ms)
+                    )
+                yield pd.DataFrame(rows, columns=[
+                    "asset_id", "frame_idx", "frame_ts_ms", "frame_phash",
+                ])
+                continue
             rows = []
             for aid, payload, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["meta_duration_ms"]

@@ -527,3 +527,61 @@ def test_ivf_assign_jvm_equals_arrow_at_256_centroids(spark, vectors):
         "embedding", F.expr("flatten(array_repeat(embedding, 4))")
     ), big)._jdf.queryExecution().analyzed().toString()
     assert "probe" in plan or "pythonUDF" in plan.lower(), plan[:500]
+
+
+def test_video_real_path_auto_upgrade_with_mocked_pyav(monkeypatch):
+    """The PyAV auto-upgrade path (VERDICT r2 #9), unit-covered with a
+    mocked codec module: _pyav() resolves a module registered as 'av',
+    and _real_frame_rows samples/reformats/hashes through the PyAV
+    surface (open → streams.video → decode → reformat → to_ndarray)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _Frame:
+        def __init__(self, t):
+            self.time = t
+
+        def reformat(self, width, height, format):
+            assert (width, height, format) == (9, 8, "gray")
+            rng = np.random.RandomState(int(self.time * 1000))
+            return types.SimpleNamespace(
+                to_ndarray=lambda: rng.randint(0, 255, size=(8, 9))
+            )
+
+    class _Container:
+        def __init__(self):
+            self.streams = types.SimpleNamespace(video=[object()])
+
+        def decode(self, stream):
+            # 30 fps for 1s: frames at 0, 1/30, 2/30, ...
+            return (_Frame(i / 30.0) for i in range(30))
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda buf: _Container()
+
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    assert MM._pyav() is fake_av
+
+    rows = MM._real_frame_rows(fake_av, 7, b"payload", every_ms=250)
+    # 1s of 30fps sampled every 250ms -> frames at 0, 250, 500, 750ms
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["frame_ts_ms"] for r in rows] == [0, 267, 500, 767]
+    assert all(r["asset_id"] == 7 for r in rows)
+    assert all(isinstance(r["frame_phash"], int) for r in rows)
+
+
+def test_video_real_path_without_codec_raises(spark):
+    """Stub behavior unchanged in-sandbox: no PyAV -> the real path is a
+    declared NotImplementedError, not a silent fake."""
+    import pytest as _pytest
+
+    assets = MM.synthetic_assets(spark, n=2, kind="video")
+    if MM._pyav() is not None:
+        _pytest.skip("PyAV unexpectedly present")
+    with _pytest.raises(Exception) as ei:
+        MM.sample_video_frames(assets, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
