@@ -464,6 +464,22 @@ def q_doc_ngram_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Dedup cluster formation: exact n-gram-Jaccard pairs (τ=0.5) →
+    distributed connected components → (doc_id, cluster_id) with
+    cluster_id = the canonical (min-id) survivor. The DuckDB oracle
+    recomputes the same components via a recursive transitive-closure
+    CTE over the identical pair set, so label propagation is value-
+    checked end-to-end (iteration count, tie handling, symmetry)."""
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity + bundle
 # ---------------------------------------------------------------------------
@@ -713,6 +729,26 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
     )
 
 
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding near-duplicate detection (cosine_near_dup_pairs) with a
+    full value oracle. The synthetic embeddings are random 64-dim (max
+    pairwise cosine < 0.9 at every sf — verified), so the query plants
+    50 deterministic twins (vec_id + 100000, identical vector) and runs
+    the banded hyperplane-LSH + exact-verify operator at τ=0.95 over the
+    union. Identical vectors agree on every signature band, so the
+    candidate set provably contains each twin pair; the oracle is the
+    EXACT O(n²) cosine pair set in DuckDB — a silent LSH miss or a
+    spurious pair both surface as a hash mismatch."""
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    return S.cosine_near_dup_pairs(
+        corpus, threshold=0.95, n_planes=16, bands=16, dim=64
+    )
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """Self-verifying recall for hyperplane-LSH ANN (VERDICT r2 #1,
     doc_lsh_recall pattern): at the generous operating point bands ==
@@ -860,12 +896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": q_doc_hash_split,
         "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_bundle": q_emb_bundle,
         "ev_feature_dag": q_ev_feature_dag,
         "doc_lsh_recall": q_doc_lsh_recall,
         "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_near_dups": q_emb_near_dups,
         "doc_sparse_features": q_doc_sparse_features,
         "ev_incremental_refresh": q_ev_incremental_refresh,
         "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
@@ -1293,6 +1331,25 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_ngram_pairs"] = ngram_pairs_sql(0.5)
 
+    # connected components as a recursive transitive-closure CTE over
+    # the same exact-Jaccard pair set: reach(v) = every vertex reachable
+    # from v, cluster = min reachable id (bounded: dup components are
+    # small template families at this τ)
+    sql["doc_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+            {ngram_pairs_sql(0.5)}
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(v, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
+        )
+        SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """
+
     # MinHash-LSH pairs, recomputed END-TO-END in SQL (hash_mode='md5'):
     # KM base hash from md5('42' || shingle) hex halves (h2 forced odd),
     # g_i = (h1 + i*h2) mod 2^32, 32 min-aggregates → signature; band
@@ -1381,6 +1438,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["emb_ivf_topk"] = sql["emb_topk"]
+
+    # exact O(n²) cosine pairs over corpus + planted twins: catches both
+    # a silent LSH miss (twin pairs MUST collide in every band) and any
+    # spurious pair the verify step failed to filter
+    sql["emb_near_dups"] = """
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id < 50
+        )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.95
+    """
 
     # LSH recall oracle: at bands == n_planes the LSH candidate set
     # provably contains every exact top-k row (see q_emb_lsh_recall), so

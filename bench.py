@@ -59,6 +59,8 @@ HEADLINE = [
     "ev_asof_chunked",
     "ev_incremental_refresh",
     "emb_lsh_recall",
+    "emb_near_dups",
+    "doc_dup_clusters",
 ]
 
 # The two shingle/regex-heavy queries concentrate nearly all of the

@@ -303,6 +303,87 @@ def minhash_lsh_pairs(
     return est
 
 
+# -- dedup clusters (connected components) ---------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → one
+    ``(id, cluster_id)`` row per vertex, ``cluster_id`` = min id in the
+    component (the canonical survivor a dedup pass keeps).
+
+    Distributed min-label propagation: symmetrize the edges once, then
+    iterate ``label(v) ← min(label(v), min over neighbors' labels)``
+    until a fixpoint. Each iteration is one hash join + one groupBy (two
+    shuffles) over the PAIR graph — which is orders of magnitude smaller
+    than the corpus (only near-dup candidates appear), so the loop runs
+    on sketch-sized data even at 100 TB corpus scale. Iterations needed
+    = max component diameter; dup clusters are template families with
+    tiny diameters (pairs exist between most members), so 2-4 rounds in
+    practice. For adversarial long-chain graphs use the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log²) rounds; not needed
+    for dedup-shaped graphs and ``max_iter`` guards the pathological
+    case loudly instead of looping forever.
+
+    Convergence is detected via the label-sum invariant: labels only
+    ever decrease, so the decimal(38,0) sum (overflow-proof under ANSI
+    at any scale) is strictly decreasing until the fixpoint — one cheap
+    aggregate action per round. ``localCheckpoint`` cuts the iterative
+    lineage so the plan does not double each round (a real cluster
+    deployment would use a reliable checkpoint dir instead)."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(lb: DataFrame) -> int:
+        row = lb.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()
+        return int(row["s"] or 0)
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological chain graph? use a larger max_iter or a "
+            "star-contraction variant)"
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 # -- SimHash ---------------------------------------------------------------------
 
 def _simhash64_udf():

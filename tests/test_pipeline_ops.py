@@ -585,3 +585,46 @@ def test_video_real_path_without_codec_raises(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a plain-python union-find on a graph
+    with a chain, a triangle, an isolated edge and shared-min collisions."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain -> cluster 1
+        (10, 11), (11, 12), (10, 12),    # triangle -> cluster 10
+        (20, 21),                        # edge -> cluster 20
+        (5, 4),                          # extends the chain -> still 1
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(df).count() == 0
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}
