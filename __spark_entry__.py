@@ -729,6 +729,47 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
     )
 
 
+def q_doc_unigram_logprob(spark, sf_dir):
+    """CCNet-style quality signal: per-doc mean unigram negative
+    log-probability under the corpus's own unigram distribution
+    (textstats.unigram_logprob — tf groupBy + term-total window +
+    broadcast corpus total, three shuffles)."""
+    out = TS.unigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.round("neg_logprob", 6) + 0.0).alias("neg_logprob"),
+    )
+
+
+def q_doc_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS (not
+    documents) are the split unit, so two near-dup docs can never land
+    in different folds and leak eval content into training — the
+    composition of connected_components and the portable md5 hash_split
+    keyed on the canonical cluster id. Singleton docs are their own
+    cluster."""
+    from feagen_spark.operators.cleaning import hash_split
+
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    with_cluster = (
+        docs.select("doc_id")
+        .join(clusters, on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    out = hash_split(
+        with_cluster, id_col="cluster_id", method="md5",
+        weights={"train": 80, "val": 10, "test": 10},
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
 def q_emb_near_dups(spark, sf_dir):
     """Embedding near-duplicate detection (cosine_near_dup_pairs) with a
     full value oracle. The synthetic embeddings are random 64-dim (max
@@ -897,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_cluster_split": q_doc_cluster_split,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_bundle": q_emb_bundle,
@@ -1348,6 +1391,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
         )
         SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """
+
+    # cluster-keyed split: same recursive components, then the md5 fold
+    # function applied to the CANONICAL id (singletons = own doc_id)
+    sql["doc_cluster_split"] = f"""
+        WITH RECURSIVE pairs AS (
+            {ngram_pairs_sql(0.5)}
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(v, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
+        ), clusters AS (
+            SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+        ), keyed AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+            WHERE d.doc_id % 5 = 0
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, cluster_id,
+                   CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b
+            FROM keyed
+        )
+    """
+
+    sql["doc_unigram_logprob"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term != '' GROUP BY 1, 2
+        ), tt AS (
+            SELECT term, sum(tf) AS term_total FROM tf GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(tf) AS DOUBLE) AS total_tokens FROM tf
+        ), sc AS (
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   -sum(tf * ln(term_total / total_tokens)) / sum(tf) AS nl
+            FROM tf JOIN tt USING (term) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_tokens, 0) AS n_tokens,
+               round(nl, 6) + 0.0 AS neg_logprob
+        FROM documents d LEFT JOIN sc USING (doc_id)
     """
 
     # MinHash-LSH pairs, recomputed END-TO-END in SQL (hash_mode='md5'):

@@ -61,6 +61,7 @@ HEADLINE = [
     "emb_lsh_recall",
     "emb_near_dups",
     "doc_dup_clusters",
+    "doc_unigram_logprob",
 ]
 
 # The two shingle/regex-heavy queries concentrate nearly all of the

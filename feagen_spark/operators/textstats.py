@@ -281,6 +281,55 @@ def tfidf_terms(
     return scored
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean unigram negative log-probability — the classic
+    cheap perplexity proxy for corpus quality filtering (CCNet-style:
+    gibberish and boilerplate score high/low vs the corpus language
+    model; here the LM is the corpus's own unigram distribution).
+
+    score(d) = -(Σ_t tf(d,t) · ln p(t)) / Σ_t tf(d,t),
+    p(t) = corpus occurrences of t / total corpus tokens.
+
+    Scale shape mirrors ``tfidf_terms``: (doc,term) tf groupBy
+    (map-side combinable), corpus term totals as a SUM WINDOW over the
+    term partitioning of tf (no self-join), total token count as a
+    broadcast 1-row aggregate, final per-doc groupBy. Three shuffles
+    total, every row fixed-width after the first aggregate. Docs with
+    no tokens are kept with NULL score (a filter decision, not a 0)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = tf.agg(F.sum("tf").cast("double").alias("total_tokens"))
+    scored = (
+        tf.withColumn("term_total", F.sum("tf").over(w_term))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("tf")
+                    * F.log(F.col("term_total") / F.col("total_tokens"))
+                )
+                / F.sum("tf")
+            ).alias("neg_logprob"),
+        )
+    )
+    return df.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "neg_logprob",
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All JVM-side text features in one pass (single projection, no
     shuffle — this is a map-only stage at any scale). The padded
