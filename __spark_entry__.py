@@ -708,13 +708,11 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
         gap_s=SESSION_GAP_S,
     )
     name = f"ev_sess_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        aggs, name, tempfile.mkdtemp(prefix="ckpt_stream_"),
-        output_mode="complete",
-    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_")
+    run_available_now(aggs, name, ckpt, output_mode="complete")
     res = spark.table(name)
     w = Window.partitionBy("user_id").orderBy("session_start")
-    return res.select(
+    out = res.select(
         "user_id",
         (F.row_number().over(w) - 1).cast("int").alias("session_id"),
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -727,6 +725,16 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
         ).alias("duration_s"),
         F.round("session_value", 6).alias("session_value"),
     )
+    # materialize, then release the per-call resources: without this,
+    # every invocation pins the full drained result in driver memory
+    # (memory-sink table) and leaks a /tmp checkpoint dir for the life
+    # of the session (code-review r3 finding)
+    import shutil
+
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def q_doc_unigram_logprob(spark, sf_dir):
@@ -827,8 +835,10 @@ def q_emb_lsh_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (not SQL-expressible: probabilistic sketches / UDF
-# plumbing — driver records row-count-only checks, by design)
+# doc_minhash_pairs / doc_simhash: oracle-backed since r3 (portable md5
+# hashing). Below them, the remaining rows-only queries: emb_lsh_topk
+# (value-covered via emb_lsh_recall), mm_* (binary decode),
+# tr_golden_features (no driver-side transcript table).
 # ---------------------------------------------------------------------------
 
 def q_doc_minhash_pairs(spark, sf_dir):
@@ -950,9 +960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sparse_features": q_doc_sparse_features,
         "ev_incremental_refresh": q_ev_incremental_refresh,
         "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
-        # rows-only (no SQL oracle by design):
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
+        # rows-only (no SQL oracle by design — see section comment):
         "emb_lsh_topk": q_emb_lsh_topk,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,

@@ -405,10 +405,20 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
     ±1 bit sums run as one numpy scatter-add over the whole batch — no
     per-doc Python loop, no per-occurrence hashing. Token multiplicity
     counts (each occurrence contributes ±1 per bit). Empty/NULL text →
-    0."""
-    import hashlib
+    0.
 
-    tok_lists = [s.lower().split() for s in texts.fillna("")]
+    Tokenization is ASCII-whitespace-exact ([ \\t\\n\\v\\f\\r]+, the
+    RE2 '\\s' class the DuckDB oracle splits on) — Python's bare
+    ``str.split()`` also splits on UNICODE whitespace (NBSP, U+2028, …),
+    which would silently diverge from the oracle on non-ASCII
+    separators (code-review r3 finding)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\v\f\r]+")
+    tok_lists = [
+        [t for t in ws.split(s.lower()) if t] for s in texts.fillna("")
+    ]
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     flat = [t for toks in tok_lists for t in toks]
     if not flat:

@@ -372,7 +372,10 @@ def _real_frame_rows(av, asset_id: int, payload: bytes, every_ms: int) -> list[d
             }
         )
         fi += 1
-        next_ts += every_ms
+        # CATCH UP past every tick this frame covers: after a decode gap
+        # (VFR, dropped frames), advancing by one period would re-take
+        # the next few frames against stale ticks and over-sample
+        next_ts = (t_ms // every_ms + 1) * every_ms
     return rows
 
 

@@ -240,9 +240,15 @@ def _make_centroid_prober(centroids: np.ndarray, top: int):
     centroid matrix ships once per task inside the UDF closure (a
     broadcast ndarray, like ``_make_signer``'s planes) and each batch
     costs ONE numpy matmul — plan size stays O(1) regardless of
-    n_centroids × dim. Stable argsort on the negated dots reproduces
-    the JVM path's ordering exactly: descending dot, ties broken by the
-    lower centroid id."""
+    n_centroids × dim. Stable argsort on the negated dots applies the
+    same ordering contract as the JVM path (descending dot, EXACT ties
+    broken by the lower centroid id). Caveat: the two paths sum in
+    different orders (BLAS blocked/SIMD vs the JVM's sequential fold),
+    so two centroids whose dots differ by less than the summation
+    rounding error (~1 ulp) can rank differently between modes — for a
+    trained quantizer (distinct centroids, margins ≫ ulp) the
+    assignments agree, as the 256-centroid parity test pins on fixed
+    seeds."""
     cent = centroids.astype(np.float64)
 
     @pandas_udf("array<int>")

@@ -43,8 +43,12 @@ class CheckpointStore:
     concurrent writes commutative with no lock: the fingerprint is the
     filename, distinct fingerprints never touch each other, and a
     same-fingerprint race is idempotent (both writers produced the same
-    logical table). ``manifest.json`` from older stores is still read
-    (compat), never rewritten."""
+    logical table; whichever table-swap lands second detects the
+    winner's table and keeps it). ``manifest.json`` from older stores is
+    still read (compat) and NEVER rewritten — invalidating a
+    legacy-manifest entry writes a per-fingerprint TOMBSTONE file
+    instead (entry files shadow the legacy manifest), so no code path
+    read-modify-writes a shared file."""
 
     def __init__(self, root: str, table_format: str = "parquet") -> None:
         self.root = root
@@ -68,7 +72,10 @@ class CheckpointStore:
             if fn.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, fn)) as f:
                     e = json.load(f)
-                m[e["fingerprint"]] = e
+                if e.get("deleted"):
+                    m.pop(e["fingerprint"], None)  # tombstone shadows legacy
+                else:
+                    m[e["fingerprint"]] = e
         return m
 
     def _save_entry(self, entry: dict) -> None:
@@ -82,7 +89,8 @@ class CheckpointStore:
         p = self._entry_path(fingerprint)
         if os.path.exists(p):
             with open(p) as f:
-                return json.load(f)
+                e = json.load(f)
+            return None if e.get("deleted") else e
         if os.path.exists(self.legacy_manifest_path):
             with open(self.legacy_manifest_path) as f:
                 return json.load(f).get(fingerprint)
@@ -93,18 +101,19 @@ class CheckpointStore:
         return entry is not None and os.path.exists(entry["path"])
 
     def invalidate(self, fingerprint: str) -> None:
+        """Remove the per-fingerprint entry file; if the fingerprint
+        came from a legacy manifest.json, shadow it with an atomic
+        tombstone entry instead of rewriting the shared file (a
+        read-modify-write there would reintroduce the concurrent-writer
+        lost-update race this layout exists to eliminate)."""
         p = self._entry_path(fingerprint)
         if os.path.exists(p):
             os.remove(p)
         if os.path.exists(self.legacy_manifest_path):
             with open(self.legacy_manifest_path) as f:
-                m = json.load(f)
-            if fingerprint in m:
-                del m[fingerprint]
-                tmp = self.legacy_manifest_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(m, f, indent=1, sort_keys=True)
-                os.replace(tmp, self.legacy_manifest_path)
+                legacy = json.load(f)
+            if fingerprint in legacy:
+                self._save_entry({"fingerprint": fingerprint, "deleted": True})
 
     # -- read/write -----------------------------------------------------------
     def read(self, spark: SparkSession, fingerprint: str) -> DataFrame:
@@ -177,16 +186,33 @@ class CheckpointStore:
                     raise NaNWriteError(
                         f"node {node_name!r}: NaN values rejected on write: {bad}"
                     )
-            # validated: swap staging into place. Crash-safe ordering
-            # (ADVICE r2): the prior version is renamed ASIDE first, so at
-            # no instant does the manifest point at a deleted directory —
-            # a crash leaves either the old table (rename pending) or the
-            # new one (old copy leaked aside, cleaned last).
+            # validated: swap staging into place. Ordering (ADVICE r2):
+            # the prior version is renamed ASIDE (never deleted) before
+            # the new one is renamed in, so no failure mode destroys
+            # data — a crash in the window between the two renames
+            # leaves path absent and the prior table intact under
+            # .old-<token> (exists() then reports a miss → recompute; the
+            # aside copy is a leak, not a loss). If the swap rename
+            # fails because a CONCURRENT same-fingerprint writer landed
+            # first, their identical table is kept (idempotent) and our
+            # copy is discarded; on any other failure the aside copy is
+            # rolled back into place before re-raising.
             old = f"{path}.old-{token}"
+            renamed_old = False
             if os.path.exists(path):
                 os.rename(path, old)
-            os.rename(staging, path)
-            shutil.rmtree(old, ignore_errors=True)
+                renamed_old = True
+            try:
+                os.rename(staging, path)
+            except OSError:
+                if renamed_old and not os.path.exists(path):
+                    os.rename(old, path)  # roll the prior version back
+                if not os.path.exists(path):
+                    raise
+                # else: a same-fingerprint winner (or the rollback) holds
+                # path — same logical table either way, keep it
+            if renamed_old:
+                shutil.rmtree(old, ignore_errors=True)
         finally:
             # any failure above (write error, NaN rejection, rename race)
             # must not leak the staging dir

@@ -370,3 +370,75 @@ def test_rejected_rewrite_keeps_prior_checkpoint_and_leaves_no_staging(
         if ".staging-" in p or ".old-" in p
     ]
     assert leftovers == [], f"leaked dirs: {leftovers}"
+
+
+def test_concurrent_same_fingerprint_writers_idempotent(spark, tmp_path):
+    """Two writers racing on the SAME fingerprint (idempotent retry /
+    speculative job): both must succeed, one table survives, no
+    .staging/.old leftovers (code-review r3 finding)."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_same")
+    errs = []
+
+    def writer() -> None:
+        try:
+            store = CheckpointStore(root)
+            df = spark.range(40).select(
+                F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+            )
+            store.write(df, "fp_same" * 4, "node_same")
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == [], errs
+
+    reader = CheckpointStore(root)
+    assert reader.exists("fp_same" * 4)
+    assert reader.read(spark, "fp_same" * 4).count() == 40
+    leftovers = [
+        p for p in os.listdir(root) if ".staging-" in p or ".old-" in p
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_invalidate_legacy_manifest_uses_tombstone(spark, tmp_path):
+    """Invalidating an entry that lives in a legacy manifest.json must
+    not rewrite the shared file — it writes an atomic tombstone entry
+    that shadows it (code-review r3 finding)."""
+    import json
+    import os
+
+    root = str(tmp_path / "ck_legacy")
+    os.makedirs(root)
+    table_dir = os.path.join(root, "legacy-table")
+    os.makedirs(table_dir)
+    legacy = {
+        "fp_old": {
+            "fingerprint": "fp_old",
+            "path": table_dir,
+            "node": "n",
+        }
+    }
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump(legacy, f)
+    before = open(os.path.join(root, "manifest.json")).read()
+
+    store = CheckpointStore(root)
+    assert store.exists("fp_old")
+    store.invalidate("fp_old")
+    assert not store.exists("fp_old")
+    assert store.entry("fp_old") is None
+    assert "fp_old" not in store._load_manifest()
+    # the shared legacy file was not rewritten
+    assert open(os.path.join(root, "manifest.json")).read() == before
+    # a fresh store instance sees the tombstone too
+    assert not CheckpointStore(root).exists("fp_old")

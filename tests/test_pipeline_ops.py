@@ -628,3 +628,34 @@ def test_connected_components_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in D.connected_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_video_frame_sampler_catches_up_after_decode_gap():
+    """VFR/gappy stream: frames at 0, 1000, 1020, 1040 ms with
+    every_ms=250 must sample only {0, 1000} — the tick schedule catches
+    up past a gap instead of burst-sampling stale ticks (code-review r3
+    finding)."""
+    import types
+
+    import numpy as np
+
+    class _Frame:
+        def __init__(self, t):
+            self.time = t
+
+        def reformat(self, width, height, format):
+            return types.SimpleNamespace(
+                to_ndarray=lambda: np.zeros((8, 9), dtype=np.int16)
+            )
+
+    class _Container:
+        def __init__(self):
+            self.streams = types.SimpleNamespace(video=[object()])
+
+        def decode(self, stream):
+            return (_Frame(t) for t in (0.0, 1.0, 1.02, 1.04))
+
+    fake_av = types.SimpleNamespace(open=lambda buf: _Container())
+    rows = MM._real_frame_rows(fake_av, 1, b"x", every_ms=250)
+    assert [r["frame_ts_ms"] for r in rows] == [0, 1000]
+    assert [r["frame_idx"] for r in rows] == [0, 1]
