@@ -784,17 +784,23 @@ def q_emb_near_dups(spark, sf_dir):
     pairwise cosine < 0.9 at every sf — verified), so the query plants
     50 deterministic twins (vec_id + 100000, identical vector) and runs
     the banded hyperplane-LSH + exact-verify operator at τ=0.95 over the
-    union. Identical vectors agree on every signature band, so the
-    candidate set provably contains each twin pair; the oracle is the
-    EXACT O(n²) cosine pair set in DuckDB — a silent LSH miss or a
-    spurious pair both surface as a hash mismatch."""
+    union. IDENTICAL vectors produce identical signatures, so twins
+    collide in every band at ANY (n_planes, bands) — determinism does
+    not need a generous operating point, and the SELECTIVE one
+    (n_planes=64, bands=4 → r=16 bits/bucket) keeps candidate
+    generation sub-quadratic: a random pair (cos≈0, per-plane agreement
+    ≈0.5) collides with P ≈ 4·2⁻¹⁶, so candidates ≈ twins + a handful
+    of noise pairs the exact verify filters. (r=1 banding measured
+    123 s at sf0.1 — half the corpus per bucket IS the all-pairs join.)
+    The oracle is the EXACT O(n²) cosine pair set in DuckDB — a silent
+    LSH miss or a spurious pair both surface as a hash mismatch."""
     emb = _embs(spark, sf_dir).select("vec_id", "embedding")
     twins = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(twins)
     return S.cosine_near_dup_pairs(
-        corpus, threshold=0.95, n_planes=16, bands=16, dim=64
+        corpus, threshold=0.95, n_planes=64, bands=4, dim=64
     )
 
 

@@ -103,7 +103,10 @@ def _make_signer(dim: int, n_planes: int, seed: int):
         m = np.vstack(vecs.to_numpy())  # (batch, dim)
         bits = (m @ planes) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes, dtype=np.uint64))
-        sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        # .view, not .astype: at n_planes=64 the top bit can be set and
+        # uint64→int64 must be a two's-complement reinterpret, which
+        # .view guarantees (astype overflow is technically undefined)
+        sig = (bits.astype(np.uint64) * weights).sum(axis=1).view(np.int64)
         return pd.Series(sig)
 
     return sign_bits
