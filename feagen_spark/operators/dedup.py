@@ -354,23 +354,28 @@ def connected_components(
         ).first()
         return int(row["s"] or 0)
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    def _propagate(lb: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges["d"] == labels["id"])
+            edges.join(lb, edges["d"] == lb["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(nbr, labels["id"] == nbr["s"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        return lb.join(nbr, lb["id"] == nbr["s"], "left").select(
+            lb["id"],
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
         )
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        # TWO propagation hops per materialized round: each round's cost
+        # at moderate scale is dominated by the fixed checkpoint +
+        # convergence-check job latency, not the joins, so doubling the
+        # hops halves the round count for the same per-round price
+        # (rounds needed ≈ diameter/2). The sum test stays sound: a
+        # converged labeling is a fixpoint of any number of hops.
+        labels = _propagate(_propagate(labels)).localCheckpoint()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
