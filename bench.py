@@ -69,7 +69,7 @@ HEADLINE = [
 # builder's snapshot, almost entirely in these two). Best-of-2 keeps
 # round-over-round comparisons tracking code, not box weather; every
 # other query is stable within noise on a single shot.
-BEST_OF_2 = {"doc_minhash_pairs", "doc_profile"}
+BEST_OF_2 = {"doc_minhash_pairs", "doc_profile", "doc_dup_clusters"}
 
 GOLDEN_FEATURES = [
     "text_len", "is_tool_turn", "prev_role", "ts_delta_prev",
