@@ -176,3 +176,94 @@ def test_chunked_asof_no_cartesian(spark, parquet_transcripts):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_two_data_shuffles(spark):
+    """tfidf_terms' docstring promises two data shuffles (tf groupBy +
+    term window) — pin it so a refactor can't silently reintroduce the
+    dfreq self-join. The broadcast of the 1-row corpus size is not a
+    hash exchange."""
+    from feagen_spark.operators.textstats import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(tfidf_terms(docs))
+    hash_ex = [l for l in _exchanges(plan) if "hashpartitioning" in l]
+    assert len(hash_ex) == 2, plan
+
+
+def test_unigram_logprob_shuffle_shape(spark):
+    """unigram_logprob's runtime shape: tf groupBy, term-total window,
+    per-doc groupBy, doc-spine join — four hash exchanges — and the
+    broadcast corpus-total branch must NOT recompute the token explode:
+    AQE dedupes its tf subtree into a ReusedExchange (asserted on the
+    POST-execution plan; the pre-execution string shows the duplicate)."""
+    from feagen_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a") for i in range(10)], "doc_id long, text string"
+    )
+    out = unigram_logprob(docs)
+    out.collect()  # finalize the adaptive plan
+    # keep only the FINAL adaptive section (the string appends the
+    # pre-execution '== Initial Plan ==', which still shows duplicates)
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    hash_ex = [l for l in _exchanges(plan) if "hashpartitioning" in l]
+    reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
+    assert len(hash_ex) - len(reused) <= 4, plan
+    assert len(reused) >= 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark):
+    """exact_dedup's keep-set aggregation must shuffle (id, digest)
+    rows, never the raw text — the property that makes it a
+    digest-weight shuffle at 100 TB."""
+    from feagen_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "payload " * 50) for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(exact_dedup(docs))
+    for line in _exchanges(plan):
+        assert "text" not in line, line
+
+
+def test_minhash_band_join_has_no_cartesian(spark):
+    """The banded candidate join must be a hash join on (band, bucket),
+    never a cartesian/nested-loop product."""
+    from feagen_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with shared tokens") for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_probe_join_broadcasts_queries(spark):
+    """ivf_topk's candidate join must broadcast the (small) probe side,
+    leaving the corpus unshuffled — the 100 TB probe path."""
+    import numpy as np
+
+    from feagen_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = rng.normal(size=(4, 8))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    q = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(S.ivf_topk(corpus, q, cent, k=3, nprobe=2))
+    assert "BroadcastExchange" in plan, plan
+    # corpus side: no hash repartition before the probe join
+    probe_hash_ex = [
+        l for l in _exchanges(plan)
+        if "hashpartitioning" in l and "centroid" in l
+    ]
+    assert probe_hash_ex == [], plan
