@@ -659,3 +659,17 @@ def test_video_frame_sampler_catches_up_after_decode_gap():
     rows = MM._real_frame_rows(fake_av, 1, b"x", every_ms=250)
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000]
     assert [r["frame_idx"] for r in rows] == [0, 1]
+
+
+def test_connected_components_long_chain_guard(spark):
+    """A long chain (pathological diameter) must either converge within
+    max_iter two-hop rounds or fail LOUDLY — never return a partially
+    propagated labeling. 24 nodes / diameter 23 converges in <= 12
+    rounds; max_iter=2 on the same graph raises."""
+    chain = [(i, i + 1) for i in range(23)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 24
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_iter=2)
