@@ -464,6 +464,20 @@ def q_doc_ngram_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination (cross_ngram_overlap): docs with
+    doc_id % 10 == 1 stand in for a held-out eval set; the query flags
+    every remaining corpus doc sharing ≥5 distinct word-3-grams with a
+    bench doc (template near-dups across the split — the contamination
+    a training pipeline must drop). Bench grams broadcast; the corpus
+    side never shuffles raw text."""
+    corpus = _docs(spark, sf_dir, where=F.col("doc_id") % 10 != 1)
+    bench = _docs(spark, sf_dir, where=F.col("doc_id") % 10 == 1)
+    return D.cross_ngram_overlap(
+        corpus, bench, n=3, min_shared=5
+    ).select("corpus_id", "bench_id", F.col("shared").cast("long").alias("shared"))
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup cluster formation: exact n-gram-Jaccard pairs (τ=0.5) →
     distributed connected components → (doc_id, cluster_id) with
@@ -955,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_cluster_split": q_doc_cluster_split,
+        "doc_contamination": q_doc_contamination,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1407,6 +1422,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
         )
         SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """
+
+    # decontamination oracle: same distinct word-3-grams per doc on both
+    # sides, inner join on the gram STRING (Spark joins on the same
+    # strings), pair count >= 5
+    sql["doc_contamination"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)),
+                           ' ')))) AS gram
+            FROM t WHERE len(toks) >= 3
+        ), corpus AS (
+            SELECT * FROM g WHERE doc_id % 10 != 1
+        ), bench AS (
+            SELECT * FROM g WHERE doc_id % 10 = 1
+        )
+        SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+               count(*) AS shared
+        FROM corpus c JOIN bench b USING (gram)
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
     """
 
     # cluster-keyed split: same recursive components, then the md5 fold

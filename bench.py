@@ -62,6 +62,7 @@ HEADLINE = [
     "emb_near_dups",
     "doc_dup_clusters",
     "doc_unigram_logprob",
+    "doc_contamination",
 ]
 
 # The two shingle/regex-heavy queries concentrate nearly all of the

@@ -303,6 +303,68 @@ def minhash_lsh_pairs(
     return est
 
 
+# -- cross-set contamination (benchmark decontamination) -------------------------
+
+def word_ngrams(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-grams per doc, JVM-side (split → slice →
+    concat_ws → array_distinct → explode). The word-level counterpart
+    of ``shingles`` — the unit of benchmark-decontamination overlap."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    idxs = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            idxs,
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        )
+    )
+    return base.where(F.size("__toks") >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+
+
+def cross_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, shared) pairs
+    where a corpus document shares >= ``min_shared`` distinct word
+    n-grams with a benchmark document — the standard n-gram-overlap
+    test for eval-set contamination in training corpora.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites vs a 100 TB crawl), so its exploded gram set is
+    BROADCAST and the corpus side stays a map-only scan + explode — no
+    corpus shuffle at all until the (corpus_id, bench_id) count, which
+    carries only matching rows. Set ``broadcast_benchmark=False`` when
+    the right side is genuinely large (falls back to a hash join on the
+    gram)."""
+    cg = word_ngrams(corpus, n=n, id_col=id_col, text_col=text_col)
+    bg = word_ngrams(benchmark, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("bench_id"), "gram"
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        cg.join(bg, on="gram")
+        .groupBy(F.col(id_col).alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 # -- dedup clusters (connected components) ---------------------------------------
 
 def connected_components(

@@ -673,3 +673,37 @@ def test_connected_components_long_chain_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(df, max_iter=2)
+
+
+def test_cross_ngram_overlap_matches_python(spark):
+    """Decontamination pairs vs a plain-python distinct-word-3-gram
+    oracle, incl. the min_shared threshold and short-doc exclusion."""
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "alpha beta gamma delta nine ten"),   # overlaps bench 10
+        (4, "too short"),                          # < n tokens -> no grams
+    ]
+    bench_rows = [
+        (10, "alpha beta gamma delta epsilon omega"),
+        (11, "unrelated words entirely here now"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    def grams(s, n=3):
+        t = s.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    want = {}
+    for cid, ct in corpus_rows:
+        for bid, bt in bench_rows:
+            sh = len(grams(ct) & grams(bt))
+            if sh >= 2:
+                want[(cid, bid)] = sh
+
+    got = {
+        (r["corpus_id"], r["bench_id"]): r["shared"]
+        for r in D.cross_ngram_overlap(corpus, bench, n=3, min_shared=2).collect()
+    }
+    assert got == want and (1, 10) in got and (3, 10) in got
