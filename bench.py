@@ -137,7 +137,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000")))
     ap.add_argument("--giant-turns", type=int, default=30000)
     ap.add_argument("--json-out", default=None)
-    ap.add_argument("--repeats", type=int, default=2)
+    # best-of-3: the first run pays JVM warmup AND a cold page-cache
+    # read of the transcript parquet (measured 10.9s cold vs 2.2s warm
+    # for identical code); two warm runs make the north-rule headline
+    # track code, not whether a prior job evicted the cache
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     from feagen_spark.session import get_spark
