@@ -478,6 +478,20 @@ def q_doc_contamination(spark, sf_dir):
     ).select("corpus_id", "bench_id", F.col("shared").cast("long").alias("shared"))
 
 
+def _doc_clusters(spark, sf_dir):
+    """Shared construction for the cluster queries: docs subset → exact
+    n-gram-Jaccard pairs (τ=0.5) → connected components. Returns
+    (docs, (doc_id, cluster_id))."""
+    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    return docs, clusters
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup cluster formation: exact n-gram-Jaccard pairs (τ=0.5) →
     distributed connected components → (doc_id, cluster_id) with
@@ -485,13 +499,8 @@ def q_doc_dup_clusters(spark, sf_dir):
     recomputes the same components via a recursive transitive-closure
     CTE over the identical pair set, so label propagation is value-
     checked end-to-end (iteration count, tie handling, symmetry)."""
-    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
-        "id_a", "id_b"
-    )
-    return D.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    _, clusters = _doc_clusters(spark, sf_dir)
+    return clusters
 
 
 # ---------------------------------------------------------------------------
@@ -773,13 +782,7 @@ def q_doc_cluster_split(spark, sf_dir):
     cluster."""
     from feagen_spark.operators.cleaning import hash_split
 
-    docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
-        "id_a", "id_b"
-    )
-    clusters = D.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
+    docs, clusters = _doc_clusters(spark, sf_dir)
     with_cluster = (
         docs.select("doc_id")
         .join(clusters, on="doc_id", how="left")

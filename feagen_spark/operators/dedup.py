@@ -310,12 +310,15 @@ def word_ngrams(
 ) -> DataFrame:
     """Distinct word n-grams per doc, JVM-side (split → slice →
     concat_ws → array_distinct → explode). The word-level counterpart
-    of ``shingles`` — the unit of benchmark-decontamination overlap."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != "",
+    of ``shingles`` — the unit of benchmark-decontamination overlap.
+    Tokenization is the repo's canonical ``_ws_tokens`` (the oracle-
+    pinned lower/trim/\\s+ split) so gram text can never drift from the
+    other word-level operators."""
+    from .textstats import _ws_tokens
+
+    base = df.select(
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("__toks")
     )
-    base = df.select(F.col(id_col), toks.alias("__toks"))
     idxs = F.sequence(
         F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))
     )

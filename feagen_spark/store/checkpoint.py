@@ -61,13 +61,18 @@ class CheckpointStore:
     def _entry_path(self, fingerprint: str) -> str:
         return os.path.join(self.manifest_dir, f"{fingerprint}.json")
 
+    def _load_legacy(self) -> dict:
+        """Entries from a pre-manifest.d combined manifest.json (read-
+        only compat; {} when absent)."""
+        if os.path.exists(self.legacy_manifest_path):
+            with open(self.legacy_manifest_path) as f:
+                return json.load(f)
+        return {}
+
     def _load_manifest(self) -> dict:
         """Full manifest view (audits/tooling). Entry files win over any
         legacy combined manifest.json."""
-        m: dict = {}
-        if os.path.exists(self.legacy_manifest_path):
-            with open(self.legacy_manifest_path) as f:
-                m.update(json.load(f))
+        m = dict(self._load_legacy())
         for fn in sorted(os.listdir(self.manifest_dir)):
             if fn.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, fn)) as f:
@@ -91,10 +96,7 @@ class CheckpointStore:
             with open(p) as f:
                 e = json.load(f)
             return None if e.get("deleted") else e
-        if os.path.exists(self.legacy_manifest_path):
-            with open(self.legacy_manifest_path) as f:
-                return json.load(f).get(fingerprint)
-        return None
+        return self._load_legacy().get(fingerprint)
 
     def exists(self, fingerprint: str) -> bool:
         entry = self.entry(fingerprint)
@@ -109,11 +111,8 @@ class CheckpointStore:
         p = self._entry_path(fingerprint)
         if os.path.exists(p):
             os.remove(p)
-        if os.path.exists(self.legacy_manifest_path):
-            with open(self.legacy_manifest_path) as f:
-                legacy = json.load(f)
-            if fingerprint in legacy:
-                self._save_entry({"fingerprint": fingerprint, "deleted": True})
+        if fingerprint in self._load_legacy():
+            self._save_entry({"fingerprint": fingerprint, "deleted": True})
 
     # -- read/write -----------------------------------------------------------
     def read(self, spark: SparkSession, fingerprint: str) -> DataFrame:
