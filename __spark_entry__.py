@@ -760,6 +760,23 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
     return out
 
 
+def q_doc_quality_quota(spark, sf_dir):
+    """Curation quota sampling: the top 20 docs PER LANGUAGE by quality
+    score (ties broken by doc_id) — the stratified keep-list a corpus
+    curator feeds to training. Composition of the quality scorer and
+    the generic top-k-per-key operator; one shuffle on lang."""
+    d = TS.add_quality_score(_docs(spark, sf_dir))
+    out = W.top_k_per_key(
+        d, "lang", (F.col("quality_score").desc(), F.col("doc_id").asc()), k=20
+    )
+    return out.select(
+        "lang",
+        "doc_id",
+        F.col("quality_score").alias("quality_score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_doc_unigram_logprob(spark, sf_dir):
     """CCNet-style quality signal: per-doc mean unigram negative
     log-probability under the corpus's own unigram distribution
@@ -973,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_cluster_split": q_doc_cluster_split,
         "doc_contamination": q_doc_contamination,
+        "doc_quality_quota": q_doc_quality_quota,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1249,6 +1267,18 @@ def oracle_sql() -> dict[str, str]:
                {_sql_lang_id("text")} AS lang_id,
                md5({_NORM}) AS fingerprint
         FROM documents
+    """
+
+    # curation quota: top 20 per lang by the SAME rounded quality
+    # formula (identical 6dp values on both engines ⇒ identical
+    # deterministic ordering incl. the doc_id tie-break)
+    sql["doc_quality_quota"] = f"""
+        SELECT lang, doc_id, quality_score, rank FROM (
+            SELECT lang, doc_id, {quality} AS quality_score,
+                   CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY {quality} DESC, doc_id ASC) AS INT) AS rank
+            FROM documents
+        ) WHERE rank <= 20
     """
 
     sql["doc_exact_dedup"] = f"""
