@@ -53,6 +53,28 @@ def read_table(
     return df
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[int, str] = (8, "conv_id"),
+    sort_by: tuple[str, ...] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-managed BUCKETED table (Spark-native bucketing — works
+    with the built-in session catalog, no Iceberg required): two tables
+    bucketed on the same key with the same bucket count JOIN WITH NO
+    EXCHANGE on either side — the co-located-join layout for the 100 TB
+    deployment's repeated feature/label joins (asserted shuffle-free in
+    tests/test_plans.py). ``sort_by`` additionally pre-sorts within
+    buckets so window suites over the key start sort-free."""
+    n, col = bucket_by
+    w = df.write.mode(mode).format(fmt).bucketBy(n, col)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def write_table(
     df: DataFrame,
     location: str,

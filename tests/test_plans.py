@@ -267,3 +267,33 @@ def test_ivf_probe_join_broadcasts_queries(spark):
         if "hashpartitioning" in l and "centroid" in l
     ]
     assert probe_hash_ex == [], plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the same key/count must join with ZERO
+    hash exchanges (the co-located join layout write_bucketed_table
+    exists for). Broadcast disabled so the join would otherwise shuffle
+    both sides."""
+    from feagen_spark.sources.tables import write_bucketed_table
+
+    left = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "bkt_left", bucket_by=(4, "k"), sort_by=("k",))
+    write_bucketed_table(right, "bkt_right", bucket_by=(4, "k"), sort_by=("k",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = _plan(joined)
+        assert not [
+            l for l in _exchanges(plan) if "hashpartitioning" in l
+        ], plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
