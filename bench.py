@@ -63,6 +63,7 @@ HEADLINE = [
     "doc_dup_clusters",
     "doc_unigram_logprob",
     "doc_contamination",
+    "doc_quality_quota",
 ]
 
 # The two shingle/regex-heavy queries concentrate nearly all of the
