@@ -321,6 +321,20 @@ def q_ev_value_median(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_ev_value_zscore(spark, sf_dir):
+    """Group-wise z-score normalization of event values per event_type
+    (functions/windowed.add_group_zscore): the standard feature-scaling
+    step before bundling; full-group statistic, label-free
+    preprocessing (see the operator's leakage note)."""
+    ev = _events(spark, sf_dir)
+    out = W.add_group_zscore(ev, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.round("value_zscore", 6) + 0.0).alias("value_zscore"),
+    )
+
+
 def q_li_rollup(spark, sf_dir):
     """ROLLUP aggregation over (returnflag, linestatus) with grouping
     flags — multi-level aggregate coverage."""
@@ -976,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_inclusive": q_ev_asof_inclusive,
         "ev_pivot_counts": q_ev_pivot_counts,
         "ev_value_median": q_ev_value_median,
+        "ev_value_zscore": q_ev_value_zscore,
         "li_rollup": q_li_rollup,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
@@ -1205,6 +1220,15 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.9), 6) AS p90_value,
                count(*) AS n
         FROM events GROUP BY event_type
+    """
+
+    sql["ev_value_zscore"] = """
+        SELECT event_id, event_type,
+               round((value - avg(value) OVER w)
+                     / nullif(stddev_samp(value) OVER w, 0), 6) + 0.0
+                   AS value_zscore
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
     """
 
     sql["li_rollup"] = """

@@ -165,3 +165,31 @@ def top_k_per_key(
     """Deterministic top-k per key (pass fully-deterministic ordering)."""
     w = _w(key, order)
     return df.withColumn(out, F.row_number().over(w)).where(F.col(out) <= k)
+
+
+def add_group_zscore(
+    df: DataFrame,
+    key: str | Sequence[str],
+    col: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Group-wise z-score normalization: (x - mean_g) / stddev_g over
+    the rows of each ``key`` group — the standard feature-scaling step
+    before bundling features for training. One unbounded window over
+    the group partitioning (a single hash exchange, reused by any other
+    same-key window in the plan); groups with zero/undefined variance
+    (single row, constant value) yield NULL rather than +/-inf.
+
+    NOTE: this is a FULL-GROUP statistic, not a trailing frame — it
+    sees the whole group including later rows, so it belongs in
+    label-free preprocessing (scaling a feature matrix), never in the
+    leakage-safe point-in-time feature suite. For a leakage-safe
+    variant, compute mean/std over a trailing frame instead."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mu = F.avg(col).over(w)
+    sd = F.stddev_samp(col).over(w)
+    z = F.when(sd > 0, (F.col(col) - mu) / sd)
+    return df.withColumn(out or f"{col}_zscore", z)
