@@ -41,6 +41,7 @@ HEADLINE = [
     "ev_asof_inclusive",
     "ev_pivot_counts",
     "ev_value_median",
+    "ev_value_zscore",
     "li_rollup",
     "li_pricing_summary",
     "join_revenue_by_priority",
