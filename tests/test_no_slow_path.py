@@ -34,14 +34,18 @@ def test_no_slow_path_constructs():
 def test_collect_only_in_allowed_places():
     """collect()/first() pulls data to the driver — allowed only where a
     scalar/summary is genuinely needed (store audit, dim sniffing)."""
-    allowed = {"store/checkpoint.py", "operators/similarity.py"}
+    allowed = {
+        "store/checkpoint.py",        # write audit metrics (1-row observe)
+        "operators/similarity.py",    # bounded IVF sample / dim sniff
+        "operators/dedup.py",         # CC convergence scalar (1-row agg)
+    }
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))
         if rel in allowed:
             continue
         text = py.read_text()
-        for m in re.finditer(r"\.(collect|toPandas)\(\)", text):
+        for m in re.finditer(r"\.(collect|toPandas|first)\(\)", text):
             line = text[: m.start()].count("\n") + 1
             offenders.append(f"{rel}:{line}")
     assert not offenders, offenders
