@@ -50,9 +50,23 @@ class CheckpointStore:
     instead (entry files shadow the legacy manifest), so no code path
     read-modify-writes a shared file."""
 
-    def __init__(self, root: str, table_format: str = "parquet") -> None:
+    def __init__(
+        self,
+        root: str,
+        table_format: str = "parquet",
+        bucket_by: tuple[int, str] | None = None,
+    ) -> None:
+        """``bucket_by=(n_buckets, key_col)`` switches checkpoints to
+        CATALOG-MANAGED BUCKETED tables (Spark-native bucketing): the
+        resume join-back then reads a table whose HashPartitioning on
+        the key is already known to the planner, so the checkpoint side
+        of the join needs NO exchange (bucketing on a PREFIX of the
+        join keys satisfies the join distribution — rows equal on all
+        keys are equal on the prefix). Default None keeps the plain
+        path-based parquet layout."""
         self.root = root
         self.table_format = table_format
+        self.bucket_by = bucket_by
         self.manifest_dir = os.path.join(root, "manifest.d")
         os.makedirs(self.manifest_dir, exist_ok=True)
         self.legacy_manifest_path = os.path.join(root, "manifest.json")
@@ -119,6 +133,10 @@ class CheckpointStore:
         entry = self.entry(fingerprint)
         if entry is None:
             raise KeyError(fingerprint)
+        if entry.get("table"):
+            # MUST go through the catalog: a path read would discard the
+            # bucketing metadata and the shuffle-free join-back with it
+            return spark.read.table(entry["table"])
         return spark.read.parquet(entry["path"])
 
     def write(
@@ -148,43 +166,19 @@ class CheckpointStore:
 
         from pyspark.sql import Observation
 
+        if self.bucket_by is not None:
+            return self._write_bucketed(df, fingerprint, node_name, ts_col, audit_nan)
+
         path = os.path.join(self.root, f"{node_name}-{fingerprint[:16]}")
         token = uuid.uuid4().hex[:8]
         staging = f"{path}.staging-{token}"
 
-        float_cols = (
-            [
-                f.name
-                for f in df.schema.fields
-                if isinstance(f.dataType, (T.DoubleType, T.FloatType))
-            ]
-            if audit_nan
-            else []
-        )
-        aggs = [
-            # decimal(38,0) sum: order-independent and overflow-proof under
-            # ANSI mode even at 10^12 rows × int64 hash range
-            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("__checksum"),
-            F.count(F.lit(1)).alias("__rows"),
-        ]
-        for c in float_cols:
-            aggs.append(
-                F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
-            )
+        float_cols, aggs = self._audit_aggs(df, audit_nan)
         obs = Observation(f"ckpt_audit_{node_name}")
         try:
             df.observe(obs, *aggs).write.mode("overwrite").parquet(staging)
             audit = obs.get
-            if audit_nan:
-                bad = {
-                    c: audit[f"__nan_{c}"]
-                    for c in float_cols
-                    if (audit[f"__nan_{c}"] or 0) > 0
-                }
-                if bad:
-                    raise NaNWriteError(
-                        f"node {node_name!r}: NaN values rejected on write: {bad}"
-                    )
+            self._check_nan(audit, float_cols, node_name)
             # validated: swap staging into place. Ordering (ADVICE r2):
             # the prior version is renamed ASIDE (never deleted) before
             # the new one is renamed in, so no failure mode destroys
@@ -229,6 +223,126 @@ class CheckpointStore:
             "checksum": int(audit["__checksum"] or 0),
             "columns": df.columns,
             "partitions": partitions,
+        }
+        self._save_entry(entry)
+        return entry
+
+    @staticmethod
+    def _audit_aggs(df: DataFrame, audit_nan: bool):
+        """Observe-metric expressions shared by both write paths."""
+        float_cols = (
+            [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            ]
+            if audit_nan
+            else []
+        )
+        aggs = [
+            # decimal(38,0) sum: order-independent and overflow-proof under
+            # ANSI mode even at 10^12 rows × int64 hash range
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("__checksum"),
+            F.count(F.lit(1)).alias("__rows"),
+        ]
+        for c in float_cols:
+            aggs.append(
+                F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
+            )
+        return float_cols, aggs
+
+    @staticmethod
+    def _check_nan(audit: dict, float_cols: list, node_name: str) -> None:
+        bad = {
+            c: audit[f"__nan_{c}"]
+            for c in float_cols
+            if (audit[f"__nan_{c}"] or 0) > 0
+        }
+        if bad:
+            raise NaNWriteError(
+                f"node {node_name!r}: NaN values rejected on write: {bad}"
+            )
+
+    def _table_name(self, node_name: str, fingerprint: str) -> str:
+        """Catalog identifier for a bucketed checkpoint: scoped by a hash
+        of the store ROOT so two stores sharing one warehouse can never
+        collide on (node, fingerprint)."""
+        import hashlib
+
+        root_tag = hashlib.md5(
+            os.path.abspath(self.root).encode("utf-8")
+        ).hexdigest()[:8]
+        return f"ckpt_{root_tag}_{node_name}_{fingerprint[:16]}".lower()
+
+    def _write_bucketed(
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        node_name: str,
+        ts_col: str | None,
+        audit_nan: bool,
+    ) -> dict:
+        """Bucketed-table twin of the path write: same single-pass
+        observe audit, same rename-aside swap discipline, expressed in
+        catalog operations (RENAME TO is a metastore pointer move, same
+        atomicity role as os.rename). A NaN-rejected write drops only
+        the staging table; the prior table and entry survive."""
+        from pyspark.sql import Observation
+
+        spark = df.sparkSession
+        n, col = self.bucket_by
+        token = uuid.uuid4().hex[:8]
+        name = self._table_name(node_name, fingerprint)
+        staging_tbl = f"{name}_stg_{token}"
+        old_tbl = f"{name}_old_{token}"
+
+        float_cols, aggs = self._audit_aggs(df, audit_nan)
+        obs = Observation(f"ckpt_audit_{node_name}")
+        try:
+            (
+                df.observe(obs, *aggs)
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n, col)
+                .saveAsTable(staging_tbl)
+            )
+            audit = obs.get
+            self._check_nan(audit, float_cols, node_name)
+            renamed_old = False
+            if spark.catalog.tableExists(name):
+                spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
+                renamed_old = True
+            try:
+                spark.sql(f"ALTER TABLE {staging_tbl} RENAME TO {name}")
+            except Exception:
+                if renamed_old and not spark.catalog.tableExists(name):
+                    spark.sql(f"ALTER TABLE {old_tbl} RENAME TO {name}")
+                if not spark.catalog.tableExists(name):
+                    raise
+            if renamed_old:
+                spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+
+        location = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .where("col_name = 'Location'")
+            .first()["data_type"]
+        )
+        path = location.replace("file:", "")
+        entry = {
+            "node": node_name,
+            "fingerprint": fingerprint,
+            "path": path,
+            "table": name,
+            "format": f"{self.table_format}+bucketed",
+            "bucket_by": [n, col],
+            "snapshot_id": uuid.uuid4().hex,
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "row_count": int(audit["__rows"] or 0),
+            "checksum": int(audit["__checksum"] or 0),
+            "columns": df.columns,
+            "partitions": self._file_metrics(path, ts_col),
         }
         self._save_entry(entry)
         return entry

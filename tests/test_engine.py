@@ -442,3 +442,77 @@ def test_invalidate_legacy_manifest_uses_tombstone(spark, tmp_path):
     assert open(os.path.join(root, "manifest.json")).read() == before
     # a fresh store instance sees the tombstone too
     assert not CheckpointStore(root).exists("fp_old")
+
+
+def test_bucketed_checkpoint_resume_and_shuffle_free_join(
+    tiny_transcripts, tmp_path, spark
+):
+    """CheckpointStore(bucket_by=...) writes catalog-managed bucketed
+    tables: resume works identically, and two checkpoints bucketed on
+    the same key join with ZERO exchanges (the shuffle-free resume
+    join-back layout)."""
+    import re
+
+    store = CheckpointStore(str(tmp_path / "ckb"), bucket_by=(4, "conv_id"))
+    ck = ("session_id", "tool_calls_last_10")
+    eng = Engine(_dag(ck), store=store, input_token="snapB")
+    req = ["turn_in_session", "tool_calls_last_10"]
+
+    out1 = eng.generate(tiny_transcripts, req)
+    r1 = out1.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    fps = {n: eng.last_run.plan.fingerprints[n] for n in ck}
+    for n in ck:
+        e = store.entry(fps[n])
+        assert e["table"] and e["format"].endswith("+bucketed")
+        assert store.read(spark, fps[n]).count() == tiny_transcripts.count()
+
+    out2 = eng.generate(tiny_transcripts, req)
+    assert sorted(eng.last_run.skipped) == sorted(ck)
+    r2 = out2.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for c in req:
+        assert (
+            r1[c].fillna(-1).to_numpy() == r2[c].fillna(-1).to_numpy()
+        ).all(), c
+
+    # co-located join: both checkpoint tables bucketed on conv_id ->
+    # joining them on the bucket key costs zero exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = store.read(spark, fps["session_id"])
+        b = store.read(spark, fps["tool_calls_last_10"])
+        joined = a.join(b.drop("turn_idx"), "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        hash_ex = [
+            l
+            for l in plan.splitlines()
+            if re.search(r"\bExchange\b", l) and "hashpartitioning" in l
+        ]
+        assert hash_ex == [], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_checkpoint_nan_reject_keeps_prior(spark, tmp_path):
+    """NaN-rejected REWRITE in bucketed mode: prior table + entry
+    survive; no staging/old tables leak in the catalog."""
+    from pyspark.sql import functions as F
+
+    from feagen_spark.store.checkpoint import NaNWriteError
+
+    store = CheckpointStore(str(tmp_path / "ckb2"), bucket_by=(2, "conv_id"))
+    good = spark.range(10).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    entry = store.write(good, "fp_bkt", "node_bkt")
+    bad = good.withColumn("v", F.lit(float("nan")))
+    with pytest.raises(NaNWriteError):
+        store.write(bad, "fp_bkt", "node_bkt")
+    assert store.exists("fp_bkt")
+    assert store.read(spark, "fp_bkt").where(F.isnan("v")).count() == 0
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(entry["table"]) and t.name != entry["table"]
+    ]
+    assert leftovers == [], leftovers
