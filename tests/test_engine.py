@@ -491,6 +491,8 @@ def test_bucketed_checkpoint_resume_and_shuffle_free_join(
         assert hash_ex == [], plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for n in ck:
+            spark.sql(f"DROP TABLE IF EXISTS {store.entry(fps[n])['table']}")
 
 
 def test_bucketed_checkpoint_nan_reject_keeps_prior(spark, tmp_path):
@@ -516,3 +518,4 @@ def test_bucketed_checkpoint_nan_reject_keeps_prior(spark, tmp_path):
         if t.name.startswith(entry["table"]) and t.name != entry["table"]
     ]
     assert leftovers == [], leftovers
+    spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
