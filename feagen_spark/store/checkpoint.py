@@ -54,16 +54,18 @@ class CheckpointStore:
         self,
         root: str,
         table_format: str = "parquet",
-        bucket_by: tuple[int, str] | None = None,
+        bucket_by: tuple[int, str | tuple[str, ...]] | None = None,
     ) -> None:
-        """``bucket_by=(n_buckets, key_col)`` switches checkpoints to
-        CATALOG-MANAGED BUCKETED tables (Spark-native bucketing): the
-        resume join-back then reads a table whose HashPartitioning on
-        the key is already known to the planner, so the checkpoint side
-        of the join needs NO exchange (bucketing on a PREFIX of the
-        join keys satisfies the join distribution — rows equal on all
-        keys are equal on the prefix). Default None keeps the plain
-        path-based parquet layout."""
+        """``bucket_by=(n_buckets, key_col_or_cols)`` switches
+        checkpoints to CATALOG-MANAGED BUCKETED tables (Spark-native
+        bucketing): the resume join-back then reads a table whose
+        HashPartitioning is already known to the planner, so the
+        checkpoint side of the join needs NO exchange. Bucket on the
+        FULL join-back key set (the Engine's ``keys``): Spark's default
+        ``requireAllClusterKeysForCoPartition=true`` demands exact-key
+        co-partitioning for a join side to skip its shuffle — a prefix
+        is not enough (verified by the plan tests). Default None keeps
+        the plain path-based parquet layout."""
         self.root = root
         self.table_format = table_format
         self.bucket_by = bucket_by
@@ -290,7 +292,8 @@ class CheckpointStore:
         from pyspark.sql import Observation
 
         spark = df.sparkSession
-        n, col = self.bucket_by
+        n, cols = self.bucket_by
+        cols = [cols] if isinstance(cols, str) else list(cols)
         token = uuid.uuid4().hex[:8]
         name = self._table_name(node_name, fingerprint)
         staging_tbl = f"{name}_stg_{token}"
@@ -303,7 +306,7 @@ class CheckpointStore:
                 df.observe(obs, *aggs)
                 .write.mode("overwrite")
                 .format("parquet")
-                .bucketBy(n, col)
+                .bucketBy(n, *cols)
                 .saveAsTable(staging_tbl)
             )
             audit = obs.get
@@ -336,7 +339,7 @@ class CheckpointStore:
             "path": path,
             "table": name,
             "format": f"{self.table_format}+bucketed",
-            "bucket_by": [n, col],
+            "bucket_by": [n, cols],
             "snapshot_id": uuid.uuid4().hex,
             "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "row_count": int(audit["__rows"] or 0),

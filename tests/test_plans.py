@@ -297,3 +297,49 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_store_resume_saves_joinback_exchanges(
+    spark, parquet_transcripts, tmp_path_factory
+):
+    """The ENGINE's resume join-back (flow df ⋈ checkpoint on
+    (conv_id, turn_idx)) must shuffle only the FLOW side when the store
+    is bucketed on conv_id: bucketing on a prefix of the join keys
+    satisfies the join distribution for the checkpoint side. Asserted
+    comparatively — the bucketed-store resume plan carries at least one
+    hash exchange FEWER PER CHECKPOINT NODE than the path-store resume
+    plan of the identical DAG."""
+    from feagen_spark.store.checkpoint import CheckpointStore
+
+    def _resume_plan(store):
+        from tests.test_engine import _dag
+
+        ck = ("session_id", "tool_calls_last_10")
+        eng = Engine(_dag(ck), store=store, input_token="snapP")
+        req = ["turn_in_session", "tool_calls_last_10"]
+        eng.generate(parquet_transcripts, req)          # populate
+        out = eng.generate(parquet_transcripts, req)    # resume
+        assert sorted(eng.last_run.skipped) == sorted(ck)
+        return _plan(out)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = tmp_path_factory.mktemp("resume_plans")
+        plain = _resume_plan(CheckpointStore(str(base / "path_store")))
+        bucketed_store = CheckpointStore(
+            str(base / "bkt_store"), bucket_by=(4, ("conv_id", "turn_idx"))
+        )
+        bucketed = _resume_plan(bucketed_store)
+        n_plain = sum(
+            1 for l in _exchanges(plain) if "hashpartitioning" in l
+        )
+        n_bucketed = sum(
+            1 for l in _exchanges(bucketed) if "hashpartitioning" in l
+        )
+        assert n_bucketed <= n_plain - 2, (n_plain, n_bucketed, bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("ckpt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
