@@ -67,11 +67,12 @@ HEADLINE = [
     "doc_quality_quota",
 ]
 
-# The two shingle/regex-heavy queries concentrate nearly all of the
-# shared-box run-to-run variance (r2: driver run 16% slower than the
-# builder's snapshot, almost entirely in these two). Best-of-2 keeps
-# round-over-round comparisons tracking code, not box weather; every
-# other query is stable within noise on a single shot.
+# The shingle/regex-heavy queries and the iterative CC query
+# concentrate nearly all of the shared-box run-to-run variance (r2:
+# driver run 16% slower than the builder's snapshot, almost entirely in
+# the first two). Best-of-2 keeps round-over-round comparisons tracking
+# code, not box weather; every other query is stable within noise on a
+# single shot.
 BEST_OF_2 = {"doc_minhash_pairs", "doc_profile", "doc_dup_clusters"}
 
 GOLDEN_FEATURES = [
