@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+# \s spelled out as RE2's class [ \t\n\f\r] (Java \s adds \v; the
+# DuckDB oracle is RE2) so Spark and oracle redact identically (ADVICE r3)
+PHONE_RE = "\\+?\\d[\\d \t\n\f\r().-]{7,}\\d"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 

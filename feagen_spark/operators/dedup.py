@@ -35,7 +35,9 @@ from pyspark.sql.window import Window
 
 
 def _norm(text_col: str) -> F.Column:
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from .textstats import WS_SPLIT  # RE2-exact whitespace (no \v) — ADVICE r3
+
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_SPLIT, " ")
 
 
 # -- exact ---------------------------------------------------------------------
@@ -477,15 +479,16 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
     counts (each occurrence contributes ±1 per bit). Empty/NULL text →
     0.
 
-    Tokenization is ASCII-whitespace-exact ([ \\t\\n\\v\\f\\r]+, the
-    RE2 '\\s' class the DuckDB oracle splits on) — Python's bare
-    ``str.split()`` also splits on UNICODE whitespace (NBSP, U+2028, …),
-    which would silently diverge from the oracle on non-ASCII
-    separators (code-review r3 finding)."""
+    Tokenization is RE2-whitespace-exact ([ \\t\\n\\f\\r]+ — RE2's
+    '\\s' has NO vertical tab, unlike Java's and Python's) so the split
+    matches the DuckDB oracle's '\\s+' bit-for-bit; Python's bare
+    ``str.split()`` would additionally split on UNICODE whitespace
+    (NBSP, U+2028, …) and \\v, silently diverging from the oracle
+    (code-review r3 + ADVICE r3 findings)."""
     import hashlib
     import re
 
-    ws = re.compile(r"[ \t\n\v\f\r]+")
+    ws = re.compile(r"[ \t\n\f\r]+")
     tok_lists = [
         [t for t in ws.split(s.lower()) if t] for s in texts.fillna("")
     ]

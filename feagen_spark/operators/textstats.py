@@ -30,22 +30,31 @@ LANG_MARKERS = {
 }
 PUNCT_CLASS = r"[^.,;:!?]"
 
+# The whitespace class shared by EVERY tokenizer that feeds a DuckDB
+# oracle. DuckDB's regex engine is RE2, whose '\s' is [ \t\n\f\r] —
+# NO vertical tab — while Java's '\s' (Spark regexp) and Python's
+# ASCII '\s' both INCLUDE \x0B. Spelling the RE2 class out explicitly
+# on the Spark/Python side makes all three engines tokenize
+# identically even on \v-bearing text (ADVICE r3).
+WS_CLASS = "[ \t\n\f\r]"
+WS_SPLIT = WS_CLASS + "+"
+
 
 def _ws_tokens(col) -> F.Column:
-    """Canonical whitespace tokenizer (lower → trim → split \\s+ → drop
-    empties). ONE definition shared by tfidf_terms and
-    add_dup_ngram_ratio: both have DuckDB oracles pinned to exactly
+    """Canonical whitespace tokenizer (lower → trim → split on
+    ``WS_SPLIT`` → drop empties). ONE definition shared by tfidf_terms
+    and add_dup_ngram_ratio: both have DuckDB oracles pinned to exactly
     regexp_split_to_array(lower(trim(text)), '\\s+'), so the two Spark
-    copies must never drift apart."""
+    copies must never drift apart (and WS_SPLIT == RE2 '\\s+')."""
     return F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(col)), WS_SPLIT), lambda t: t != ""
     )
 
 
 def _token_count(col) -> F.Column:
     t = F.trim(col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, WS_SPLIT))
     ).cast("int")
 
 
@@ -59,7 +68,7 @@ def add_bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     standard pre-tokenizer split (letters|digits|other-nonspace runs)."""
     t = F.col(text_col)
     chunks = F.regexp_extract_all(
-        t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"), F.lit(0)
     )
     return df.withColumn("bpe_token_count", F.size(chunks).cast("int"))
 
@@ -173,7 +182,7 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed). Exact SQL twin exists."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_SPLIT, " ")
     return df.withColumn("fingerprint", F.md5(norm))
 
 

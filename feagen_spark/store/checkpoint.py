@@ -137,9 +137,46 @@ class CheckpointStore:
             raise KeyError(fingerprint)
         if entry.get("table"):
             # MUST go through the catalog: a path read would discard the
-            # bucketing metadata and the shuffle-free join-back with it
+            # bucketing metadata and the shuffle-free join-back with it.
+            # Catalog registrations die with the session (default
+            # in-memory catalog), but the warehouse dir + manifest entry
+            # persist — so after a restart exists() is True while the
+            # table name resolves to nothing. Re-register the EXTERNAL
+            # bucketed table from the manifest before reading (ADVICE
+            # r3): Spark recovers each file's bucket id from the
+            # saveAsTable file naming, so the shuffle-free join-back
+            # survives the restart too.
+            if not spark.catalog.tableExists(entry["table"]):
+                try:
+                    self._register_bucketed(spark, entry)
+                except Exception:
+                    # registration is an optimization; the data itself
+                    # lives at entry['path'] — degrade to a path read
+                    # (correct rows, join-back shuffles again)
+                    return spark.read.parquet(entry["path"])
             return spark.read.table(entry["table"])
         return spark.read.parquet(entry["path"])
+
+    @staticmethod
+    def _register_bucketed(spark: SparkSession, entry: dict) -> None:
+        """CREATE TABLE ... USING parquet CLUSTERED BY ... LOCATION from
+        a manifest entry. Schema comes from the parquet footers (a
+        metadata-only read, no job); on any registration failure the
+        caller still has ``entry['path']`` — fall back to a plain path
+        read (correct rows, bucketing metadata lost) rather than
+        failing the resume."""
+        n, cols = entry["bucket_by"]
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        sch = spark.read.parquet(entry["path"]).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+        )
+        clustered = ", ".join(f"`{c}`" for c in cols)
+        spark.sql(
+            f"CREATE TABLE {entry['table']} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({clustered}) INTO {n} BUCKETS "
+            f"LOCATION '{entry['path']}'"
+        )
 
     def write(
         self,
@@ -195,8 +232,15 @@ class CheckpointStore:
             old = f"{path}.old-{token}"
             renamed_old = False
             if os.path.exists(path):
-                os.rename(path, old)
-                renamed_old = True
+                try:
+                    os.rename(path, old)
+                    renamed_old = True
+                except FileNotFoundError:
+                    # a concurrent same-fingerprint writer renamed the
+                    # prior version aside between our exists() check and
+                    # the rename — same situation as path never having
+                    # existed; continue into the swap (ADVICE r3)
+                    pass
             try:
                 os.rename(staging, path)
             except OSError:
@@ -332,7 +376,12 @@ class CheckpointStore:
             .where("col_name = 'Location'")
             .first()["data_type"]
         )
-        path = location.replace("file:", "")
+        # strip only the URI SCHEME (a bare .replace would also mangle
+        # 'file:' occurring mid-path); non-file schemes (hdfs:, s3a:)
+        # keep the full URI — local file metrics don't apply there
+        from urllib.parse import urlparse
+
+        path = urlparse(location).path if location.startswith("file:") else location
         entry = {
             "node": node_name,
             "fingerprint": fingerprint,

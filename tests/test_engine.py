@@ -519,3 +519,98 @@ def test_bucketed_checkpoint_nan_reject_keeps_prior(spark, tmp_path):
     ]
     assert leftovers == [], leftovers
     spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
+
+
+def test_rename_aside_race_loser_still_succeeds(spark, tmp_path, monkeypatch):
+    """Same-fingerprint race on the rename-aside itself: the loser's
+    os.rename(path, old) hits FileNotFoundError because the winner
+    already moved the prior version aside — the write must treat that
+    as 'nothing to move' and succeed idempotently (ADVICE r3)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_race")
+    store = CheckpointStore(root)
+    df = spark.range(20).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    store.write(df, "fp_race" * 4, "node_race")
+    path = store.entry("fp_race" * 4)["path"]
+
+    real_rename = _os.rename
+
+    def flaky(src, dst):
+        if src == path and ".old-" in str(dst):
+            raise FileNotFoundError(src)  # winner moved it aside first
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky)
+    entry = store.write(df, "fp_race" * 4, "node_race")  # must NOT raise
+    monkeypatch.undo()
+
+    assert entry["row_count"] == 20
+    assert store.exists("fp_race" * 4)
+    assert store.read(spark, "fp_race" * 4).count() == 20
+    leftovers = [
+        p for p in _os.listdir(root) if ".staging-" in p or ".old-" in p
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_bucketed_checkpoint_read_survives_catalog_loss(spark, tmp_path):
+    """Driver restart scenario (ADVICE r3 medium): the in-memory catalog
+    registration dies with the session while the warehouse files and the
+    manifest entry persist. read() must re-register the table from the
+    manifest — keeping the BUCKETED layout, so the shuffle-free
+    join-back survives the restart — instead of raising
+    TABLE_OR_VIEW_NOT_FOUND."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    store = CheckpointStore(str(tmp_path / "ckb3"), bucket_by=(4, "conv_id"))
+    df = spark.range(100).select(
+        F.col("id").alias("conv_id"), (F.col("id") * 2.0).alias("v")
+    )
+    entry = store.write(df, "fp_sess" * 4, "node_sess")
+    tbl, path = entry["table"], entry["path"]
+
+    # simulate the restart: stash the data files, drop the MANAGED table
+    # (which deletes them), restore the files at the same location —
+    # catalog empty, disk + manifest intact, exactly the post-crash state
+    stash = str(tmp_path / "stash")
+    shutil.copytree(path, stash)
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    shutil.copytree(stash, path)
+
+    assert store.exists("fp_sess" * 4)  # manifest + files say yes
+    got = store.read(spark, "fp_sess" * 4)
+    assert got.count() == 100
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(100))
+    assert spark.catalog.tableExists(tbl)  # re-registered
+
+    # bucketing metadata survived: self-join on the bucket key plans
+    # with ZERO hash exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = store.read(spark, "fp_sess" * 4)
+        b = store.read(spark, "fp_sess" * 4).withColumnRenamed("v", "v2")
+        plan = (
+            a.join(b, "conv_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hash_ex = [
+            l
+            for l in plan.splitlines()
+            if re.search(r"\bExchange\b", l) and "hashpartitioning" in l
+        ]
+        assert hash_ex == [], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -304,8 +304,9 @@ def test_bucketed_store_resume_saves_joinback_exchanges(
 ):
     """The ENGINE's resume join-back (flow df ⋈ checkpoint on
     (conv_id, turn_idx)) must shuffle only the FLOW side when the store
-    is bucketed on conv_id: bucketing on a prefix of the join keys
-    satisfies the join distribution for the checkpoint side. Asserted
+    is bucketed on the FULL join-back key set (conv_id, turn_idx) —
+    under requireAllClusterKeysForCoPartition=true a prefix is NOT
+    enough (see checkpoint.py bucket_by docs). Asserted
     comparatively — the bucketed-store resume plan carries at least one
     hash exchange FEWER PER CHECKPOINT NODE than the path-store resume
     plan of the identical DAG."""
