@@ -922,7 +922,7 @@ def q_emb_lsh_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.lsh_topk(emb, q, k=5, n_planes=16, bands=8)
+    return S.lsh_topk(emb, q, k=5, n_planes=16, bands=8, dim=64)
 
 
 def q_mm_image_features(spark, sf_dir):

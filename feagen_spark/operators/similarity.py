@@ -52,6 +52,30 @@ def _cos(a, b) -> F.Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def _score(cands: DataFrame, id_col, vec_col, query_id_col, query_vec_col):
+    """Exact cosine per candidate, rounded to 6dp (oracle alignment).
+    ONE definition so the scoring conventions cannot drift between the
+    brute-force / LSH / IVF paths."""
+    return cands.select(
+        query_id_col,
+        id_col,
+        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+
+
+def _rank_scored(scored: DataFrame, k: int, id_col, query_id_col) -> DataFrame:
+    """Shared top-k tail over already-scored (query_id, id, cosine)
+    rows: rank 1..k per query, ties broken by id for determinism."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _topk_rerank(
     cands: DataFrame,
     k: int,
@@ -60,22 +84,13 @@ def _topk_rerank(
     query_id_col: str,
     query_vec_col: str,
 ) -> DataFrame:
-    """Shared exact re-rank tail for every ANN variant: cosine rounded
-    to 6dp (oracle alignment), rank 1..k per query with ties broken by
-    id for determinism. ONE definition so the oracle conventions cannot
-    drift between the brute-force / LSH / IVF paths."""
-    scored = cands.select(
-        query_id_col,
+    """Score + rank in one step (brute-force / IVF paths, whose
+    candidate sets are already pair-distinct)."""
+    return _rank_scored(
+        _score(cands, id_col, vec_col, query_id_col, query_vec_col),
+        k,
         id_col,
-        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        query_id_col,
     )
 
 
@@ -178,12 +193,17 @@ def lsh_topk(
             )
         ).alias("band", "bucket"),
     )
-    cands = (
-        c_bands.join(F.broadcast(q_bands), on=["band", "bucket"])
-        .select(query_id_col, id_col, vec_col, query_vec_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
-    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+    # SCORE, then distinct: cosine is deterministic per (query, cand)
+    # pair (same left-fold order every time), so a pair colliding in
+    # several bands re-scores redundantly map-side but the distinct
+    # Exchange carries only (query_id, id, cosine) scalars — never the
+    # two full embeddings (VERDICT r3 #1: at 1024-dim float64 that is
+    # ~16 KB/candidate of avoided shuffle).
+    cands = c_bands.join(F.broadcast(q_bands), on=["band", "bucket"])
+    scored = _score(
+        cands, id_col, vec_col, query_id_col, query_vec_col
+    ).dropDuplicates([query_id_col, id_col])
+    return _rank_scored(scored, k, id_col, query_id_col)
 
 
 # -- IVF (inverted-file) ANN ---------------------------------------------------
@@ -399,20 +419,22 @@ def cosine_near_dup_pairs(
         ).alias("band", "bucket"),
     )
     a, b = bands_df.alias("a"), bands_df.alias("b")
-    cands = (
+    # Score AND threshold BEFORE the cross-band distinct (the MinHash
+    # pattern, dedup.py score-then-dedup; VERDICT r3 #1): cosine is
+    # deterministic per pair, so the dedup Exchange shuffles only
+    # (id_a, id_b, cosine) scalars — pairs below the threshold never
+    # reach it at all. The redundant re-score of a pair colliding in
+    # multiple bands is map-side CPU, which is the cheap currency.
+    return (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cands.select(
-            "id_a", "id_b", F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cosine")
+            F.round(
+                _cos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -344,3 +344,106 @@ def test_bucketed_store_resume_saves_joinback_exchanges(
         for t in spark.catalog.listTables():
             if t.name.startswith("ckpt_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def _formatted(df) -> str:
+    """Formatted explain (per-node Input/Arguments lists) — the only
+    explain mode that shows WHICH columns ride each Exchange."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _exchange_blocks(plan: str) -> list[dict]:
+    """Parse formatted-explain into one dict per `(n) Exchange` node:
+    {'input': <Input line>, 'args': <Arguments line>} (shuffle
+    exchanges only — BroadcastExchange is a different node name)."""
+    blocks = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Exchange\b", line.strip()):
+            continue
+        blk = {"input": "", "args": ""}
+        for sub in lines[i + 1 : i + 8]:
+            s = sub.strip()
+            if s.startswith("Input"):
+                blk["input"] = s
+            elif s.startswith("Arguments"):
+                blk["args"] = s
+            elif not s:
+                break
+        blocks.append(blk)
+    return blocks
+
+
+def _vectors_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_near_dup_pair_dedup_exchange_carries_scalars_only(spark):
+    """VERDICT r3 #1: cosine_near_dup_pairs must score AND threshold
+    before the pair distinct, so the dedup Exchange (keyed on the pair
+    ids) shuffles (id_a, id_b, cosine) scalars — never the two full
+    embedding vectors. The band self-join exchanges (keyed on
+    band/bucket) legitimately carry vectors; they are keyed differently
+    and excluded here."""
+    from feagen_spark.operators import similarity as S
+
+    df = _vectors_df(spark)
+    out = S.cosine_near_dup_pairs(df, 0.9, n_planes=16, bands=4, dim=8)
+    dedup_ex = [
+        b
+        for b in _exchange_blocks(_formatted(out))
+        if "hashpartitioning(id_a" in b["args"]
+    ]
+    assert dedup_ex, _formatted(out)
+    for b in dedup_ex:
+        assert "embedding" not in b["input"], b
+        assert not re.search(r"\bv[ab]#", b["input"]), b
+
+
+def test_lsh_topk_dedup_exchange_carries_scalars_only(spark):
+    """Same property for lsh_topk: the candidate distinct and the rank
+    window shuffle (query_id, vec_id, cosine) scalars only — the corpus
+    embedding and the broadcast query vector never ride a shuffle."""
+    from feagen_spark.operators import similarity as S
+
+    df = _vectors_df(spark)
+    q = df.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = S.lsh_topk(df, q, k=3, n_planes=16, bands=4, dim=8)
+    blocks = _exchange_blocks(_formatted(out))
+    keyed = [
+        b for b in blocks if "hashpartitioning(query_id" in b["args"]
+    ]
+    assert keyed, _formatted(out)
+    for b in keyed:
+        assert "embedding" not in b["input"], b
+        assert "query_vec" not in b["input"], b
+
+
+def test_lsh_plan_construction_is_action_free(spark):
+    """With dim= passed, building the LSH plans must run ZERO Spark jobs
+    (VERDICT r3 #2: the 1-row dimension-sniff job exists only as the
+    dim=None fallback)."""
+    from feagen_spark.operators import similarity as S
+
+    df = _vectors_df(spark)
+    q = df.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = list(tracker.getJobIdsForGroup(None))
+    S.lsh_topk(df, q, k=3, n_planes=16, bands=4, dim=8)
+    S.cosine_near_dup_pairs(df, 0.9, n_planes=16, bands=4, dim=8)
+    after = list(tracker.getJobIdsForGroup(None))
+    assert after == before, set(after) - set(before)
