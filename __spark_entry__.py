@@ -890,8 +890,9 @@ def q_emb_lsh_recall(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # doc_minhash_pairs / doc_simhash: oracle-backed since r3 (portable md5
-# hashing). Below them, the remaining rows-only queries: emb_lsh_topk
-# (value-covered via emb_lsh_recall), mm_* (binary decode),
+# hashing); mm_image_features since r4 (md5-chain fake decode). The
+# remaining rows-only queries: emb_lsh_topk (value-covered via
+# emb_lsh_recall), mm_audio_features (real binary WAV decode),
 # tr_golden_features (no driver-side transcript table).
 # ---------------------------------------------------------------------------
 
@@ -926,8 +927,19 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 
 def q_mm_image_features(spark, sf_dir):
+    """Oracle-backed since r4: the fake decoder expands payload bytes
+    via an md5 CHAIN (block i = md5(payload || '|' || i)) and the fake
+    phash is md5(payload || '|phash')[:8] signed — both recomputable in
+    DuckDB from the same synthetic asset derivation, so mean_intensity
+    and phash carry a full value oracle (VERDICT r3 #3). The decode
+    itself (binary → Arrow batch → mapInPandas) is the real plumbing."""
     assets = MM.synthetic_assets(spark, n=64).repartition(8, "asset_id")
-    return MM.decode_image_features(assets, fake=True)
+    out = MM.decode_image_features(assets, fake=True)
+    return out.select(
+        "asset_id", "width", "height", "n_bytes",
+        (F.round("mean_intensity", 6) + 0.0).alias("mean_intensity"),
+        "phash",
+    )
 
 
 def q_mm_audio_features(spark, sf_dir):
@@ -1371,6 +1383,54 @@ def oracle_sql() -> dict[str, str]:
                     - (CASE WHEN b63 > 0 THEN {1 << 63} ELSE 0 END) AS BIGINT)
                    AS simhash
         FROM documents d LEFT JOIN b USING (doc_id)
+    """
+
+    # mm_image_features: rebuild the synthetic assets from range(64)
+    # (payload = repeat(sha256(id), 8), dims from id), replay the md5
+    # CHAIN expansion (block i = md5(payload || '|' || i), 16 bytes per
+    # block, last block truncated to wh mod 16) for mean_intensity, and
+    # the md5 '|phash' tag for the signed-64 phash — byte-for-byte what
+    # multimodal._fake_decode_bytes/_fake_phash64 compute in the UDF.
+    sql["mm_image_features"] = """
+        WITH assets AS (
+            SELECT CAST(r.range AS BIGINT) AS asset_id,
+                   repeat(sha256(CAST(r.range AS VARCHAR)), 8) AS payload,
+                   CAST(32 + r.range % 64 AS INT) AS width,
+                   CAST(32 + (r.range * 7) % 64 AS INT) AS height
+            FROM range(64) r
+        ), sized AS (
+            SELECT *, width * height AS wh,
+                   CAST(length(payload) AS INT) AS n_bytes
+            FROM assets
+        ), blocks AS (
+            SELECT asset_id, wh, payload,
+                   unnest(range(0, (wh + 15) // 16)) AS blk
+            FROM sized
+        ), sums AS (
+            SELECT asset_id,
+                   SUM(list_sum(list_transform(
+                       range(0, LEAST(16, wh - blk * 16)),
+                       i -> CAST(('0x' || substr(
+                                md5(payload || '|' || CAST(blk AS VARCHAR)),
+                                CAST(1 + 2 * i AS INT), 2)) AS INT)
+                   ))) AS px_sum
+            FROM blocks GROUP BY asset_id
+        ), ph AS (
+            SELECT asset_id,
+                   CAST(('0x' || substr(md5(payload || '|phash'), 1, 16))
+                        AS UBIGINT) AS u
+            FROM sized
+        )
+        SELECT s.asset_id, s.width, s.height, s.n_bytes,
+               round(CAST(m.px_sum AS DOUBLE) / s.wh, 6) + 0.0
+                   AS mean_intensity,
+               CAST(CAST(p.u AS HUGEINT)
+                    - (CASE WHEN p.u >= 9223372036854775808
+                            THEN 18446744073709551616 ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM sized s
+        JOIN sums m USING (asset_id)
+        JOIN ph p USING (asset_id)
     """
 
     sql["doc_hash_split"] = """

@@ -157,17 +157,30 @@ def synthetic_wav_assets(spark, n: int = 32) -> DataFrame:
 
 def _fake_decode_bytes(payload: bytes, n_vals: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: derive n_vals uint8 'samples' from the
-    payload via blake2b expansion. Stands in for a real codec."""
+    payload via an md5 CHAIN — block i = md5(payload || '|' || str(i)),
+    16 bytes each. md5 (not blake2b) so an external SQL engine can
+    recompute the expansion verbatim (DuckDB: md5(payload_text || '|'
+    || i) → hex pairs → bytes), making mm_image_features a full value
+    oracle (VERDICT r3 #3 / SURVEY §8). Stands in for a real codec."""
     out = np.empty(n_vals, dtype=np.uint8)
     filled = 0
     counter = 0
     while filled < n_vals:
-        d = hashlib.blake2b(payload + counter.to_bytes(4, "big"), digest_size=64).digest()
-        take = min(64, n_vals - filled)
+        d = hashlib.md5(payload + b"|" + str(counter).encode("ascii")).digest()
+        take = min(16, n_vals - filled)
         out[filled : filled + take] = np.frombuffer(d[:take], dtype=np.uint8)
         filled += take
         counter += 1
     return out
+
+
+def _fake_phash64(payload: bytes) -> int:
+    """Fake perceptual hash: first 8 bytes of md5(payload || '|phash'),
+    big-endian signed — the same SQL-portable signed-int64 packing the
+    SimHash oracle uses."""
+    return int.from_bytes(
+        hashlib.md5(payload + b"|phash").digest()[:8], "big", signed=True
+    )
 
 
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
@@ -197,15 +210,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             ):
                 if fake:
                     px = _fake_decode_bytes(bytes(payload), int(w) * int(h))
-                    phash = int(
-                        np.int64(
-                            int.from_bytes(
-                                hashlib.blake2b(px.tobytes(), digest_size=8).digest(),
-                                "big",
-                                signed=True,
-                            )
-                        )
-                    )
+                    phash = _fake_phash64(bytes(payload))
                 else:
                     img = Image.open(io.BytesIO(bytes(payload))).convert("L")
                     w, h = img.size
@@ -412,20 +417,13 @@ def sample_video_frames(
                 pdf["asset_id"], pdf["payload"], pdf["meta_duration_ms"]
             ):
                 for fi, ts in enumerate(range(0, int(dur), every_ms)):
-                    fb = _fake_decode_bytes(
-                        bytes(payload) + fi.to_bytes(4, "big"), 64
-                    )
                     rows.append(
                         {
                             "asset_id": int(aid),
                             "frame_idx": fi,
                             "frame_ts_ms": ts,
-                            "frame_phash": int.from_bytes(
-                                hashlib.blake2b(
-                                    fb.tobytes(), digest_size=8
-                                ).digest(),
-                                "big",
-                                signed=True,
+                            "frame_phash": _fake_phash64(
+                                bytes(payload) + b"|" + str(fi).encode("ascii")
                             ),
                         }
                     )
