@@ -335,6 +335,26 @@ def q_ev_value_zscore(spark, sf_dir):
     )
 
 
+def q_ev_value_zscore_trailing(spark, sf_dir):
+    """LEAKAGE-SAFE z-score (functions/windowed.add_rolling_zscore):
+    each event normalized against the previous 10 events of the same
+    user only — the trailing frame ends at -1, so the statistic never
+    sees the current row or anything later. This is the variant that
+    can live INSIDE the point-in-time feature suite (VERDICT r3 #6);
+    prefix-invariance is property-tested in test_leakage_property."""
+    ev = _events(spark, sf_dir)
+    out = W.add_rolling_zscore(
+        ev, "user_id", "value", order=("ts", "event_id"), n=10
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.round("value_zscore_trailing", 6) + 0.0).alias(
+            "value_zscore_trailing"
+        ),
+    )
+
+
 def q_li_rollup(spark, sf_dir):
     """ROLLUP aggregation over (returnflag, linestatus) with grouping
     flags — multi-level aggregate coverage."""
@@ -1003,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_pivot_counts": q_ev_pivot_counts,
         "ev_value_median": q_ev_value_median,
         "ev_value_zscore": q_ev_value_zscore,
+        "ev_value_zscore_trailing": q_ev_value_zscore_trailing,
         "li_rollup": q_li_rollup,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
@@ -1241,6 +1262,16 @@ def oracle_sql() -> dict[str, str]:
                    AS value_zscore
         FROM events
         WINDOW w AS (PARTITION BY event_type)
+    """
+
+    sql["ev_value_zscore_trailing"] = """
+        SELECT event_id, user_id,
+               round((value - avg(value) OVER w)
+                     / nullif(stddev_samp(value) OVER w, 0), 6) + 0.0
+                   AS value_zscore_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     """
 
     sql["li_rollup"] = """

@@ -193,3 +193,31 @@ def add_group_zscore(
     sd = F.stddev_samp(col).over(w)
     z = F.when(sd > 0, (F.col(col) - mu) / sd)
     return df.withColumn(out or f"{col}_zscore", z)
+
+
+def add_rolling_zscore(
+    df: DataFrame,
+    key: str | Sequence[str],
+    col: str,
+    order: Sequence[str | Column],
+    n: int = 100,
+    out: str | None = None,
+) -> DataFrame:
+    """LEAKAGE-SAFE z-score: normalize each row against the mean/std of
+    the previous ``n`` rows only — the trailing frame ends at -1
+    (strictly before the current row), per the repo's leakage contract,
+    so the statistic never sees the row it normalizes nor anything
+    later. This is the variant that belongs INSIDE the point-in-time
+    feature suite (add_group_zscore's docstring points here).
+
+    Same single hash exchange as every other same-key window; rows with
+    fewer than 2 prior observations, or a zero-variance trailing frame,
+    yield NULL rather than +/-inf. Pass a fully-deterministic ``order``
+    (e.g. (ts, event_id)) — ties would otherwise make the trailing
+    frame, and therefore the feature, nondeterministic."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-n, -1)
+    mu = F.avg(col).over(w)
+    sd = F.stddev_samp(col).over(w)
+    z = F.when(sd > 0, (F.col(col) - mu) / sd)
+    return df.withColumn(out or f"{col}_zscore_trailing", z)

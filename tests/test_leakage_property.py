@@ -119,3 +119,43 @@ def test_transcript_features_prefix_invariant(spark, seed, tiny_transcripts):
             assert np.allclose(fa.astype(float), pa.astype(float), equal_nan=True), c
         else:
             assert (fa == pa).all(), c
+
+
+@pytest.mark.parametrize("seed", [19, 53])
+def test_rolling_zscore_prefix_invariant(spark, seed):
+    """add_rolling_zscore (frame -n..-1) must be prefix-invariant: the
+    z-scores of the rows before a cutoff are identical whether the
+    later rows exist or not. Its full-group sibling add_group_zscore is
+    deliberately NOT (checked too — if the group variant ever passed
+    this, the test itself would be vacuous)."""
+    from feagen_spark.functions.windowed import (
+        add_group_zscore,
+        add_rolling_zscore,
+    )
+
+    ev = _random_events(spark, seed)
+    cutoff = F.timestamp_micros(F.lit(36 * 3600 * 1_000_000))
+
+    def vals(df, col):
+        pdf = df.toPandas().sort_values("event_id")
+        return pdf[col].to_numpy(dtype=float)
+
+    full = add_rolling_zscore(
+        ev, "user_id", "value", order=("ts", "event_id"), n=10
+    ).where(F.col("ts") <= cutoff)
+    prefix = add_rolling_zscore(
+        ev.where(F.col("ts") <= cutoff),
+        "user_id", "value", order=("ts", "event_id"), n=10,
+    )
+    a, b = vals(full, "value_zscore_trailing"), vals(prefix, "value_zscore_trailing")
+    assert len(a) == len(b) > 50
+    assert np.allclose(a, b, equal_nan=True)
+
+    g_full = add_group_zscore(ev, "user_id", "value").where(
+        F.col("ts") <= cutoff
+    )
+    g_prefix = add_group_zscore(
+        ev.where(F.col("ts") <= cutoff), "user_id", "value"
+    )
+    ga, gb = vals(g_full, "value_zscore"), vals(g_prefix, "value_zscore")
+    assert not np.allclose(ga, gb, equal_nan=True)
