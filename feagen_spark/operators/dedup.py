@@ -377,6 +377,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "min_label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → one
     ``(id, cluster_id)`` row per vertex, ``cluster_id`` = min id in the
@@ -390,11 +391,12 @@ def connected_components(
     on sketch-sized data even at 100 TB corpus scale. Iterations needed
     = max component diameter; dup clusters are template families with
     tiny diameters (pairs exist between most members), so 2-4 rounds in
-    practice. For adversarial long-chain graphs use the
-    large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — O(log²) rounds; not needed
-    for dedup-shaped graphs and ``max_iter`` guards the pathological
-    case loudly instead of looping forever.
+    practice. For adversarial long-chain graphs pass
+    ``method='star'`` — the large-star/small-star formulation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", public),
+    O(log²)-round convergence regardless of diameter; ``min_label``
+    stays the default because dedup-shaped graphs converge faster under
+    it and ``max_iter`` guards the pathological case loudly.
 
     Convergence is detected via the label-sum invariant: labels only
     ever decrease, so the decimal(38,0) sum (overflow-proof under ANSI
@@ -402,6 +404,10 @@ def connected_components(
     aggregate action per round. ``localCheckpoint`` cuts the iterative
     lineage so the plan does not double each round (a real cluster
     deployment would use a reliable checkpoint dir instead)."""
+    if method == "star":
+        return _cc_star(pairs, id_a, id_b, max_iter)
+    if method != "min_label":
+        raise ValueError(f"unknown connected_components method {method!r}")
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -454,6 +460,88 @@ def connected_components(
             "star-contraction variant)"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, public algorithm) — the escape hatch for adversarial
+    long-chain graphs where min-label propagation needs diameter/2
+    rounds (VERDICT r3 #9). Converges in O(log² n) rounds regardless of
+    component diameter:
+
+    - large-star: every neighbor LARGER than u re-attaches to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: u and its SMALLER neighbors all attach to their
+      minimum.
+
+    Edges are kept normalized as (hi > lo); at the fixpoint the edge
+    set IS the star (node → component-min), so labels fall out without
+    a final propagation. Each half-round is one groupBy + one join over
+    the pair graph (sketch-sized, same as min-label); fixpoint detected
+    by an order-independent edge-set signature (count + decimal xxhash
+    sum — the same overflow-proof convention as the write-audit
+    checksum)."""
+    e0 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    e = (
+        e0.where(F.col("s") != F.col("d"))
+        .select(
+            F.greatest("s", "d").alias("hi"), F.least("s", "d").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (int(row["n"]), int(row["h"] or 0))
+
+    def _large(edges: DataFrame) -> DataFrame:
+        adj = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        return (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    def _small(edges: DataFrame) -> DataFrame:
+        # all edges already satisfy hi > lo, so Γ⁻(hi) = its lo side
+        mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        withm = edges.join(mins, "hi")
+        re_lo = withm.select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
+        ).where(F.col("hi") != F.col("lo"))
+        re_hi = withm.select("hi", F.col("m").alias("lo"))
+        return re_lo.union(re_hi).distinct()
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _small(_large(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} "
+            "rounds"
+        )
+    roots = e.select(F.col("lo").alias("id")).distinct().join(
+        e.select(F.col("hi").alias("id")).distinct(), "id", "left_anti"
+    )
+    return e.select(
+        F.col("hi").alias("id"), F.col("lo").alias("cluster_id")
+    ).union(roots.select("id", F.col("id").alias("cluster_id")))
 
 
 # -- SimHash ---------------------------------------------------------------------

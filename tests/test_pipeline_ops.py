@@ -707,3 +707,40 @@ def test_cross_ngram_overlap_matches_python(spark):
         for r in D.cross_ngram_overlap(corpus, bench, n=3, min_shared=2).collect()
     }
     assert got == want and (1, 10) in got and (3, 10) in got
+
+
+def test_connected_components_star_long_chain_and_parity(spark):
+    """method='star' (large-star/small-star, Kiveris et al.) must solve
+    the adversarial long-chain graph min-label loudly refuses: a
+    1000-edge chain needs ~250 two-hop min-label rounds (> the default
+    25) but converges in O(log² n) star rounds (VERDICT r3 #9). Also
+    parity vs min_label on a mixed random graph."""
+    import numpy as np
+
+    chain = spark.range(1000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=3)
+    got = D.connected_components(chain, method="star", max_iter=30).toPandas()
+    assert len(got) == 1001
+    assert (got["cluster_id"] == 0).all()
+    assert sorted(got["id"]) == list(range(1001))
+
+    rng = np.random.RandomState(3)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 80, size=(120, 2))
+        if a != b
+    ]
+    p2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = (
+        D.connected_components(p2, method="star")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    ml = (
+        D.connected_components(p2, method="min_label")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert (star["id"].values == ml["id"].values).all()
+    assert (star["cluster_id"].values == ml["cluster_id"].values).all()
