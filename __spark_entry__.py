@@ -223,6 +223,41 @@ def q_ev_asof_chunked(spark, sf_dir):
     )
 
 
+def q_ev_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TTL (feature-store semantics, e.g.
+    Feast's ttl): the latest strictly-prior click is attached only if it
+    is at most 600 s older than the purchase — older state is treated as
+    expired (NULL, as if no click existed). Also emits the matched
+    click's timestamp (`include_right_ts` — the "feature as-of WHEN?"
+    audit column)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        values=["click_value"],
+        strict=True,
+        right_order=("event_id",),
+        tolerance_s=600,
+        include_right_ts="click_ts",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("last_click_value"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
+            "last_click_us"
+        ),
+    )
+
+
 def q_ev_backfill_state(spark, sf_dir):
     """As-of state snapshot at EVERY event (C10): latest strictly-prior
     click/view values carried forward per user."""
@@ -333,6 +368,24 @@ def q_ev_value_zscore(spark, sf_dir):
         "event_type",
         (F.round("value_zscore", 6) + 0.0).alias("value_zscore"),
     )
+
+
+def q_ev_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (cleaning.stratified_sample):
+    keep 50% of clicks, 20% of views, all purchases, drop everything
+    else — the target-mixture curation step. Hash-of-id decisions, so
+    the sample is identical across runs/layouts/cluster sizes (never
+    sampleBy/rand) and the md5 bridge makes it oracle-exact."""
+    from feagen_spark.operators.cleaning import stratified_sample
+
+    ev = _events(spark, sf_dir)
+    out = stratified_sample(
+        ev,
+        "event_type",
+        {"click": 0.5, "view": 0.2, "purchase": 1.0},
+        id_col="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type")
 
 
 def q_ev_value_zscore_trailing(spark, sf_dir):
@@ -535,6 +588,21 @@ def q_doc_dup_clusters(spark, sf_dir):
     checked end-to-end (iteration count, tie handling, symmetry)."""
     _, clusters = _doc_clusters(spark, sf_dir)
     return clusters
+
+
+def q_doc_dedup_canonical(spark, sf_dir):
+    """The dedup pass OUTPUT (what actually ships downstream): the
+    corpus with every near-dup cluster collapsed to its canonical
+    (min-id) member — non-canonical members anti-joined away, singleton
+    docs untouched. Composition of the exact-Jaccard pair set +
+    connected components + one broadcastable anti-join; the text rides
+    as md5 so the oracle compare stays fixed-width."""
+    docs, clusters = _doc_clusters(spark, sf_dir)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -1016,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_aggs": q_ev_session_aggs,
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
         "ev_asof_chunked": q_ev_asof_chunked,
+        "ev_asof_tolerance": q_ev_asof_tolerance,
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
         "ev_type_counts": q_ev_type_counts,
@@ -1024,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_value_median": q_ev_value_median,
         "ev_value_zscore": q_ev_value_zscore,
         "ev_value_zscore_trailing": q_ev_value_zscore_trailing,
+        "ev_stratified_sample": q_ev_stratified_sample,
         "li_rollup": q_li_rollup,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
@@ -1036,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_canonical": q_doc_dedup_canonical,
         "doc_cluster_split": q_doc_cluster_split,
         "doc_contamination": q_doc_contamination,
         "doc_quality_quota": q_doc_quality_quota,
@@ -1192,6 +1263,29 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ev_asof_chunked"] = sql["ev_asof_purchase_click"]
 
+    sql["ev_asof_tolerance"] = f"""
+        WITH st AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'click' THEN value END
+                       IGNORE NULLS) OVER ({ev_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_value,
+                   last_value(CASE WHEN event_type = 'click'
+                       THEN epoch_us(ts) END
+                       IGNORE NULLS) OVER ({ev_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_us
+            FROM events
+        )
+        SELECT user_id, event_id,
+               round(value, 6) AS purchase_value,
+               CASE WHEN epoch_us(ts) - last_click_us <= 600000000
+                    THEN round(last_click_value, 6) END AS last_click_value,
+               CASE WHEN epoch_us(ts) - last_click_us <= 600000000
+                    THEN last_click_us END AS last_click_us
+        FROM st WHERE event_type = 'purchase'
+    """
+
     sql["ev_backfill_state"] = f"""
         SELECT event_id, user_id,
                round(last_value(CASE WHEN event_type = 'click' THEN value END
@@ -1262,6 +1356,17 @@ def oracle_sql() -> dict[str, str]:
                    AS value_zscore
         FROM events
         WINDOW w AS (PARTITION BY event_type)
+    """
+
+    sql["ev_stratified_sample"] = """
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 1000000
+              < CASE event_type WHEN 'click' THEN 500000
+                                WHEN 'view' THEN 200000
+                                WHEN 'purchase' THEN 1000000
+                                ELSE 0 END
     """
 
     sql["ev_value_zscore_trailing"] = """
@@ -1570,6 +1675,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
         )
         SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """
+
+    # dedup pass output: same recursive-CTE components, then drop every
+    # non-canonical cluster member from the corpus
+    sql["doc_dedup_canonical"] = f"""
+        WITH RECURSIVE pairs AS (
+            {ngram_pairs_sql(0.5)}
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(v, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT e.s, reach.r FROM edges e JOIN reach ON reach.v = e.d
+        ), cl AS (
+            SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+        )
+        SELECT d.doc_id, md5(d.text) AS text_md5
+        FROM documents d
+        LEFT JOIN cl ON cl.doc_id = d.doc_id
+        WHERE d.doc_id % 5 = 0   -- same docs subset the Spark side scans
+          AND (cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id)
     """
 
     # decontamination oracle: same distinct word-3-grams per doc on both

@@ -43,6 +43,8 @@ HEADLINE = [
     "ev_value_median",
     "ev_value_zscore",
     "ev_value_zscore_trailing",
+    "ev_asof_tolerance",
+    "ev_stratified_sample",
     "li_rollup",
     "li_pricing_summary",
     "join_revenue_by_priority",

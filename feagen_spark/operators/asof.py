@@ -45,6 +45,7 @@ _SIDE = "__asof_side"
 _SNAP = "__asof_snap"
 _ORD = "__asof_ord"
 _CHUNK = "__asof_chunk"
+_RTS = "__asof_rts"
 
 
 @dataclass(frozen=True)
@@ -93,7 +94,13 @@ def _asof_union(
         *on,
         F.col(right_ts).alias(_ORD),
         F.lit(right_side).alias(_SIDE),
-        F.struct(*[F.col(v) for v in values]).alias(_SNAP),
+        # the matched right row's own ts rides inside the snapshot
+        # struct: tolerance_s (staleness TTL) and include_right_ts need
+        # it after the carry — one extra fixed-width field, no extra
+        # shuffle stage
+        F.struct(
+            *[F.col(v) for v in values], F.col(right_ts).alias(_RTS)
+        ).alias(_SNAP),
         *[
             F.col(c).alias(a)
             for c, a in zip(right_order, ord_aliases)
@@ -126,8 +133,15 @@ def _asof_union(
     )
 
 
-def _asof_project(au: _AsofUnion, u: DataFrame) -> DataFrame:
+def _asof_project(
+    au: _AsofUnion, u: DataFrame, include_right_ts: str | None = None
+) -> DataFrame:
     picked = u.where(F.col(_SIDE) == au.left_side)
+    extra = (
+        [F.col(f"{_SNAP}.{_RTS}").alias(include_right_ts)]
+        if include_right_ts
+        else []
+    )
     return picked.select(
         *au.on,
         au.left_ts,
@@ -136,7 +150,30 @@ def _asof_project(au: _AsofUnion, u: DataFrame) -> DataFrame:
             F.col(f"{_SNAP}.{v}").alias(o)
             for v, o in zip(au.values, au.out_cols)
         ],
+        *extra,
     )
+
+
+def _apply_tolerance(
+    au: _AsofUnion, u: DataFrame, tolerance_s: float | None
+) -> DataFrame:
+    """Staleness TTL (feature-store semantics): a matched snapshot older
+    than ``tolerance_s`` relative to the left row's ts is discarded —
+    the row gets NULLs exactly as if no right row existed. Applied after
+    the carry, so it is one map-side projection (no extra shuffle)."""
+    if tolerance_s is None:
+        return u
+    lt = u.schema[au.left_ts].dataType
+    rts = F.col(f"{_SNAP}.{_RTS}")
+    if isinstance(lt, (T.TimestampType, T.TimestampNTZType)):
+        age = F.unix_micros(F.col(au.left_ts).cast("timestamp")) - F.unix_micros(
+            rts.cast("timestamp")
+        )
+        limit = int(tolerance_s * 1_000_000)
+    else:  # numeric ordering column: tolerance in the column's own units
+        age = F.col(au.left_ts).cast("double") - rts.cast("double")
+        limit = tolerance_s
+    return u.withColumn(_SNAP, F.when(age <= F.lit(limit), F.col(_SNAP)))
 
 
 def asof_join(
@@ -149,6 +186,8 @@ def asof_join(
     strict: bool = True,
     right_order: Sequence[str] = (),
     value_prefix: str = "",
+    tolerance_s: float | None = None,
+    include_right_ts: str | None = None,
 ) -> DataFrame:
     """As-of join left←right on ``on`` keys ordered by timestamps.
 
@@ -156,7 +195,13 @@ def asof_join(
     right row (null when none exists). ``right_order`` breaks ties among
     right rows sharing a timestamp (latest wins); defaults to input order
     of the right frame made deterministic by right_ts only.
-    """
+
+    ``tolerance_s`` (feature-store staleness TTL): a match older than
+    this relative to the left ts is discarded — NULLs, as if no right
+    row existed (for numeric ordering columns the unit is the column's
+    own). ``include_right_ts`` additionally emits the matched right
+    row's timestamp under that name (the "feature as-of WHEN?" audit
+    column)."""
     au = _asof_union(
         left, right, on, left_ts, right_ts, values, strict, right_order,
         value_prefix,
@@ -170,7 +215,8 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = au.u.withColumn(_SNAP, F.last(_SNAP, ignorenulls=True).over(w))
-    return _asof_project(au, u)
+    u = _apply_tolerance(au, u, tolerance_s)
+    return _asof_project(au, u, include_right_ts)
 
 
 def asof_join_chunked(
@@ -186,6 +232,8 @@ def asof_join_chunked(
     chunk_span_s: int = 3600,
     chunk_span: int | None = None,
     broadcast_carries: bool = True,
+    tolerance_s: float | None = None,
+    include_right_ts: str | None = None,
 ) -> DataFrame:
     """Skew-safe as-of join, value-identical to :func:`asof_join`.
 
@@ -287,7 +335,8 @@ def asof_join_chunked(
         carries = F.broadcast(carries)
     out = within.join(carries, on=[*au.on, _CHUNK], how="left")
     out = out.withColumn(_SNAP, F.coalesce(F.col("__within"), F.col("__carry")))
-    return _asof_project(au, out)
+    out = _apply_tolerance(au, out, tolerance_s)
+    return _asof_project(au, out, include_right_ts)
 
 
 def backfill_snapshots(

@@ -124,3 +124,49 @@ def chunk_text(
     return out.select(
         id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    method: str = "md5",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    hash(id) mod 10^6 < fraction(stratum) * 10^6 — the curation step
+    that downsamples over-represented strata (language, domain, source)
+    to target mixture weights.
+
+    Unlike ``df.sampleBy`` (rand()-based), the decision is a pure
+    function of the row id: stable across runs, partitionings, cluster
+    sizes and retries; adding rows never resamples existing ones — the
+    same property ``hash_split`` guarantees for folds. Strata absent
+    from ``fractions`` are dropped (fraction 0). Map-only at any scale
+    (one filter, no shuffle).
+
+    method='md5' is engine-portable (first 8 hex chars of md5 →
+    uint32 — the repo's standard oracle bridge; ignores ``seed``);
+    method='xxhash64' is the faster JVM-only path."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0, 1]: {bad}")
+    if method == "md5":
+        h = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    elif method == "xxhash64":
+        h = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    thresholds = [
+        (k, int(round(v * 1_000_000))) for k, v in sorted(fractions.items())
+    ]
+    thr = F.lit(0)
+    for name, t in thresholds:
+        thr = F.when(F.col(strata_col) == name, F.lit(t)).otherwise(thr)
+    return df.where(h < thr)

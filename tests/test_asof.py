@@ -256,3 +256,56 @@ def test_chunked_asof_numeric_ord_requires_chunk_span(spark):
         asof_join_chunked(left, right, **kw)
     out = asof_join_chunked(left, right, chunk_span=5, **kw)
     assert out.first()["v"] == 1.0
+
+
+def test_asof_tolerance_and_right_ts(spark):
+    """Staleness TTL: a match older than tolerance_s is expired to NULL
+    (exactly as if no right row existed); include_right_ts emits the
+    matched right timestamp. Plain and chunked variants agree."""
+    from feagen_spark.operators.asof import asof_join_chunked
+
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 5000, 2.0), ("u2", 10, 9.0)],
+        "k string, sec long, v double",
+    ).select("k", F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"), "v")
+    left = spark.createDataFrame(
+        [("u1", 150), ("u1", 5600), ("u1", 50), ("u2", 9000)],
+        "k string, sec long",
+    ).select("k", F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"))
+
+    for fn, kw in [
+        (asof_join, {}),
+        (asof_join_chunked, {"chunk_span_s": 300}),
+    ]:
+        out = fn(
+            left, right, on=["k"], values=["v"], strict=True,
+            tolerance_s=600, include_right_ts="src_ts", **kw,
+        )
+        rows = {
+            (r["k"], r["ts"].timestamp()): (
+                r["v"],
+                r["src_ts"].timestamp() if r["src_ts"] else None,
+            )
+            for r in out.collect()
+        }
+        assert rows[("u1", 150.0)] == (1.0, 100.0)      # 50s old: fresh
+        assert rows[("u1", 5600.0)] == (2.0, 5000.0)    # exactly 600s: fresh (<=)
+        assert rows[("u1", 50.0)] == (None, None)       # no prior row
+        assert rows[("u2", 9000.0)] == (None, None)     # 8990s old: expired
+
+
+def test_asof_tolerance_numeric_units(spark):
+    """Numeric ordering column: tolerance is in the column's own units."""
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 100, 2.0)], "k string, pos long, v double"
+    )
+    left = spark.createDataFrame(
+        [("a", 12), ("a", 300)], "k string, pos long"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="pos", right_ts="pos",
+        values=["v"], strict=True, tolerance_s=50,
+    )
+    rows = {r["pos"]: r["v"] for r in out.collect()}
+    assert rows[12] == 1.0          # 2 units old
+    assert rows[300] is None        # 200 units old: expired

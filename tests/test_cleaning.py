@@ -73,3 +73,37 @@ def test_chunk_text_null_text_yields_no_rows(spark):
     )
     got = C.chunk_text(df, chunk_chars=8, overlap=2).collect()
     assert len(got) == 1 and got[0].doc_id == 2
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """Hash-based stratified sampling: identical keep-set under any
+    partitioning (never rand()); unmapped strata drop; approximate
+    fraction respected; invalid fractions rejected."""
+    from feagen_spark.operators.cleaning import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    fr = {"en": 0.5, "de": 0.1}
+    a = {r["doc_id"] for r in stratified_sample(df, "lang", fr).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), "lang", fr).collect()
+    }
+    assert a == b and len(a) > 0
+    by_lang = (
+        stratified_sample(df, "lang", fr)
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    assert "fr" not in by_lang.index               # unmapped stratum dropped
+    assert abs(by_lang["en"] / (2000 / 3) - 0.5) < 0.1
+    assert abs(by_lang["de"] / (2000 / 3) - 0.1) < 0.06
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        stratified_sample(df, "lang", {"en": 1.5})
