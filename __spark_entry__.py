@@ -914,6 +914,59 @@ def q_doc_cluster_split(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "split")
 
 
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (similarity.label_centroids): the class-
+    centroid aggregate behind IVF quantizers, prototype classifiers and
+    embedding-drift monitoring. One groupBy with 64 scalar avg
+    aggregates (map-side combinable, shuffle rows = n_labels) — never a
+    row-per-dimension explode. Emitted one row per (label, pos) for the
+    value compare."""
+    emb = _embs(spark, sf_dir)
+    out = S.label_centroids(emb, dim=64)
+    return out.select(
+        "label", "n", F.posexplode("centroid").alias("pos", "mean_val")
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        "n",
+        F.col("pos").cast("int").alias("pos"),
+        (F.round("mean_val", 6) + 0.0).alias("mean_val"),
+    )
+
+
+def q_ev_json_props(spark, sf_dir):
+    """Semi-structured column support: events.props is a JSON string;
+    extract $.k (get_json_object — JVM-side, no Python), then aggregate
+    per event_type. The standard log-analytics shape: schema-on-read
+    extraction feeding a relational aggregate."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt_50"),
+        )
+    )
+
+
+def q_doc_mixture_report(spark, sf_dir):
+    """Corpus mixture report — the curation dashboard aggregate: per
+    (lang, source) document count, total whitespace tokens and mean doc
+    length. Drives mixture-weight decisions (what stratified_sample then
+    enforces). Map-side-combinable groupBy; token counting is the
+    repo's canonical JVM tokenizer with its pinned SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.add_token_count(docs)
+    return out.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
 def q_emb_near_dups(spark, sf_dir):
     """Embedding near-duplicate detection (cosine_near_dup_pairs) with a
     full value oracle. The synthetic embeddings are random 64-dim (max
@@ -1107,6 +1160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_canonical": q_doc_dedup_canonical,
+        "doc_mixture_report": q_doc_mixture_report,
+        "emb_label_centroids": q_emb_label_centroids,
+        "ev_json_props": q_ev_json_props,
         "doc_cluster_split": q_doc_cluster_split,
         "doc_contamination": q_doc_contamination,
         "doc_quality_quota": q_doc_quality_quota,
@@ -1356,6 +1412,45 @@ def oracle_sql() -> dict[str, str]:
                    AS value_zscore
         FROM events
         WINDOW w AS (PARTITION BY event_type)
+    """
+
+    sql["ev_json_props"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+                   AS k_avg,
+               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50
+        FROM events GROUP BY event_type
+    """
+
+    sql["emb_label_centroids"] = """
+        WITH sizes AS (
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        ), x AS (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   unnest(range(0, len(embedding))) AS pos
+            FROM embeddings
+        ), m AS (
+            SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mean_val
+            FROM x GROUP BY label, pos
+        )
+        SELECT CAST(m.label AS INT) AS label, s.n,
+               CAST(m.pos AS INT) AS pos,
+               round(m.mean_val, 6) + 0.0 AS mean_val
+        FROM m JOIN sizes s USING (label)
+    """
+
+    sql["doc_mixture_report"] = f"""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum({_TOKENS}) AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang, source
     """
 
     sql["ev_stratified_sample"] = """

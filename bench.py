@@ -45,6 +45,9 @@ HEADLINE = [
     "ev_value_zscore_trailing",
     "ev_asof_tolerance",
     "ev_stratified_sample",
+    "ev_json_props",
+    "doc_mixture_report",
+    "emb_label_centroids",
     "li_rollup",
     "li_pricing_summary",
     "join_revenue_by_priority",

@@ -206,6 +206,35 @@ def lsh_topk(
     return _rank_scored(scored, k, id_col, query_id_col)
 
 
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) → (label, n, centroid).
+    ONE groupBy carrying ``dim`` scalar avg aggregates — map-side
+    combinable, so shuffle rows = n_labels regardless of corpus size.
+    The alternative (posexplode to (row, dim) pairs) would shuffle
+    corpus_rows × dim rows; at 100 TB that explode is the difference
+    between a trivial agg and a dominating stage. Pass ``dim`` to keep
+    plan construction action-free."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+            f"__c{i}"
+        )
+        for i in range(dim)
+    ]
+    g = corpus.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    return g.select(
+        label_col,
+        "n",
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
 # -- IVF (inverted-file) ANN ---------------------------------------------------
 
 def train_ivf_centroids(

@@ -744,3 +744,33 @@ def test_connected_components_star_long_chain_and_parity(spark):
     )
     assert (star["id"].values == ml["id"].values).all()
     assert (star["cluster_id"].values == ml["cluster_id"].values).all()
+
+
+def test_label_centroids_matches_numpy_and_plan(vectors):
+    """Per-label centroid aggregate: values match numpy means; the plan
+    is ONE hash exchange with NO Generate/explode node — the per-
+    dimension scalar-agg shape, never a (rows x dim) explode."""
+    import re
+
+    df, base = vectors
+    labeled = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    out = S.label_centroids(labeled, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    assert (
+        len(
+            [
+                l
+                for l in plan.splitlines()
+                if re.search(r"\bExchange\b", l) and "hashpartitioning" in l
+            ]
+        )
+        == 1
+    ), plan
+
+    got = {r["label"]: (r["n"], r["centroid"]) for r in out.collect()}
+    for lbl in range(3):
+        members = base[[i for i in range(40) if i % 3 == lbl]].astype("float64")
+        n, cent = got[lbl]
+        assert n == len(members)
+        assert np.allclose(np.array(cent), members.mean(axis=0), atol=1e-9)
