@@ -958,7 +958,7 @@ def q_doc_mixture_report(spark, sf_dir):
     length. Drives mixture-weight decisions (what stratified_sample then
     enforces). Map-side-combinable groupBy; token counting is the
     repo's canonical JVM tokenizer with its pinned SQL twin."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)  # repartition: token regex is CPU-heavy
     out = TS.add_token_count(docs)
     return out.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

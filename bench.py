@@ -97,10 +97,13 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _completed_stages(spark) -> dict:
+def _completed_stages(spark) -> dict | None:
     """Completed-stage metrics from the Spark status REST API, keyed by
-    (stageId, attemptId). Returns {} when the UI is disabled — callers
-    degrade to timing-only output."""
+    (stageId, attemptId). Returns None when the UI is disabled or the
+    call fails — callers degrade to timing-only output. None (not {}):
+    a failed 'before' snapshot must not masquerade as 'no prior stages'
+    or the diff would attribute every stage since app start to the
+    measured run (code-review r4 finding)."""
     import urllib.request
 
     try:
@@ -111,15 +114,15 @@ def _completed_stages(spark) -> dict:
             stages = json.loads(r.read().decode())
         return {(s["stageId"], s["attemptId"]): s for s in stages}
     except Exception:
-        return {}
+        return None
 
 
-def _diff_stage_stats(before: dict, after: dict) -> dict | None:
+def _diff_stage_stats(before: dict | None, after: dict | None) -> dict | None:
     """Aggregate shuffle volume + stage count for the stages that
     completed between two snapshots (BASELINE.md's promised plan-level
     evidence: shuffle bytes must be CONSTANT across parallelism levels —
     eff(8→32) loss is DRAM, not shuffle growth)."""
-    if not after:
+    if before is None or after is None:
         return None
     new = [s for k, s in after.items() if k not in before]
     return {
@@ -144,7 +147,9 @@ def materialize_transcripts(spark, path: str, n_conv: int, giant_turns: int) -> 
     return spark.read.parquet(path).count()
 
 
-def run_feature_dag(spark, input_path: str, repeats: int = 2) -> float:
+def run_feature_dag(
+    spark, input_path: str, repeats: int = 2
+) -> tuple[float, dict | None]:
     """Time the full golden feature DAG over a parquet transcript table;
     returns best of `repeats` runs (first run pays JVM/JIT warmup —
     identical treatment at every parallelism level keeps scaling

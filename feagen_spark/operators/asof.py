@@ -170,9 +170,18 @@ def _apply_tolerance(
             rts.cast("timestamp")
         )
         limit = int(tolerance_s * 1_000_000)
-    else:  # numeric ordering column: tolerance in the column's own units
+    elif isinstance(lt, T.NumericType):
+        # numeric ordering column: tolerance in the column's own units
         age = F.col(au.left_ts).cast("double") - rts.cast("double")
         limit = tolerance_s
+    else:
+        # DateType etc. would die inside the cast with an opaque
+        # AnalysisException — fail with the actual contract instead
+        raise ValueError(
+            f"tolerance_s needs a timestamp or numeric ordering column; "
+            f"got {lt.simpleString()} (for dates, cast to timestamp or "
+            f"to epoch days first)"
+        )
     return u.withColumn(_SNAP, F.when(age <= F.lit(limit), F.col(_SNAP)))
 
 

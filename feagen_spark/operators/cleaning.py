@@ -44,6 +44,24 @@ def scrub_pii(
     return df.withColumn(out, t)
 
 
+def _hash_bucket(id_col: str, method: str, seed: int, mod: int) -> F.Column:
+    """Shared hash→bucket expression for hash_split and
+    stratified_sample (one definition so the DuckDB oracle bridge can
+    never drift between them): method='md5' is engine-portable (first 8
+    hex chars → uint32, seed ignored — portability means a fixed
+    function); method='xxhash64' is the faster JVM-only path."""
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(mod))
+    if method == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(mod),
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -65,18 +83,7 @@ def hash_split(
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError(f"weights must sum to 100: {weights}")
-    if method == "xxhash64":
-        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(100))
-    elif method == "md5":
-        # first 8 hex chars of md5(id as string) → uint32 → mod 100
-        bucket = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-            ).cast("long"),
-            F.lit(100),
-        )
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    bucket = _hash_bucket(id_col, method, seed, 100)
     expr = None
     acc = 0
     for name, w in weights.items():
@@ -152,17 +159,7 @@ def stratified_sample(
     bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
     if bad:
         raise ValueError(f"fractions must be in [0, 1]: {bad}")
-    if method == "md5":
-        h = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
-    elif method == "xxhash64":
-        h = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    h = _hash_bucket(id_col, method, seed, 1_000_000)
     thresholds = [
         (k, int(round(v * 1_000_000))) for k, v in sorted(fractions.items())
     ]

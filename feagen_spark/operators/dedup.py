@@ -484,6 +484,14 @@ def _cc_star(
     sum — the same overflow-proof convention as the write-audit
     checksum)."""
     e0 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    # every vertex the pair list mentions — self-loop-only vertices have
+    # no (hi > lo) edge but must still come back as their own singleton
+    # cluster, exactly like min_label (code-review r4 finding)
+    verts = (
+        e0.select(F.col("s").alias("id"))
+        .union(e0.select(F.col("d").alias("id")))
+        .distinct()
+    )
     e = (
         e0.where(F.col("s") != F.col("d"))
         .select(
@@ -536,12 +544,17 @@ def _cc_star(
             f"star connected_components did not converge in {max_iter} "
             "rounds"
         )
-    roots = e.select(F.col("lo").alias("id")).distinct().join(
+    # non-roots point at their component min; every other mentioned
+    # vertex (roots AND self-loop-only singletons) labels itself
+    non_roots = e.select(
+        F.col("hi").alias("id"), F.col("lo").alias("cluster_id")
+    )
+    selfs = verts.join(
         e.select(F.col("hi").alias("id")).distinct(), "id", "left_anti"
     )
-    return e.select(
-        F.col("hi").alias("id"), F.col("lo").alias("cluster_id")
-    ).union(roots.select("id", F.col("id").alias("cluster_id")))
+    return non_roots.union(
+        selfs.select("id", F.col("id").alias("cluster_id"))
+    )
 
 
 # -- SimHash ---------------------------------------------------------------------

@@ -774,3 +774,18 @@ def test_label_centroids_matches_numpy_and_plan(vectors):
         n, cent = got[lbl]
         assert n == len(members)
         assert np.allclose(np.array(cent), members.mean(axis=0), atol=1e-9)
+
+
+def test_connected_components_star_self_loop_parity(spark):
+    """Self-loop-only vertices must come back as singleton clusters from
+    BOTH methods — star used to drop them with its s != d edge filter
+    (code-review r4 finding)."""
+    df = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a long, id_b long"
+    )
+    for method in ("min_label", "star"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in D.connected_components(df, method=method).collect()
+        }
+        assert got == {1: 1, 2: 1, 7: 7}, (method, got)

@@ -70,10 +70,14 @@ def main() -> None:
         print(f"pair {i}: eff(2->8)={e28:.3f} eff(8->32)={e832:.3f}", flush=True)
 
     med = {k: statistics.median(v) for k, v in ratios.items()}
+    # ONE definition of "the representative run" (the median-time run),
+    # shared by level_*.json and the BASELINE.md table below
+    reps: dict[int, dict] = {}
     for c, runs in results.items():
         runs.sort(key=lambda r: r["feature_dag_sec"])
         rep = runs[len(runs) // 2]
         rep["all_runs_sec"] = [r["feature_dag_sec"] for r in runs]
+        reps[c] = rep
         (REPO / f"BENCH/level_{c}.json").write_text(json.dumps(rep) + "\n")
 
     rows = results[2][0]["transcript_rows"]
@@ -82,9 +86,7 @@ def main() -> None:
         secs = sorted(r["feature_dag_sec"] for r in results[c])
         tpss = sorted(r["turns_per_sec"] for r in results[c])
         mid = len(secs) // 2
-        rep = sorted(results[c], key=lambda r: r["feature_dag_sec"])[
-            len(results[c]) // 2
-        ]
+        rep = reps[c]
         n_st = rep.get("feature_dag_stages")
         sh_r = rep.get("feature_dag_shuffle_read_bytes")
         sh_w = rep.get("feature_dag_shuffle_write_bytes")
