@@ -426,6 +426,47 @@ def q_li_rollup(spark, sf_dir):
         )
     )
 
+def q_li_grouping_sets(spark, sf_dir):
+    """GROUPING SETS coverage (the generalization rollup/cube are sugar
+    for): per-returnflag totals, per-linestatus totals, and the grand
+    total in ONE aggregate pass — Catalyst expands to a single Expand +
+    hash aggregate, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_ev_value_decile(spark, sf_dir):
+    """Rank-window coverage: ntile decile + percent_rank of each event's
+    value within its user's history — the standard per-entity feature
+    normalization by rank (robust to outliers where z-score is not)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
+    )
+
+
 def q_li_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1148,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_value_zscore_trailing": q_ev_value_zscore_trailing,
         "ev_stratified_sample": q_ev_stratified_sample,
         "li_rollup": q_li_rollup,
+        "li_grouping_sets": q_li_grouping_sets,
+        "ev_value_decile": q_ev_value_decile,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
         "doc_profile": q_doc_profile,
@@ -1481,6 +1524,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["li_grouping_sets"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+    sql["ev_value_decile"] = """
+        SELECT event_id, user_id,
+               CAST(ntile(10) OVER w AS INT) AS decile,
+               round(percent_rank() OVER w, 6) + 0.0 AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
     """
 
     sql["li_pricing_summary"] = """

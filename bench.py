@@ -49,6 +49,8 @@ HEADLINE = [
     "doc_mixture_report",
     "emb_label_centroids",
     "li_rollup",
+    "li_grouping_sets",
+    "ev_value_decile",
     "li_pricing_summary",
     "join_revenue_by_priority",
     "doc_profile",

@@ -447,3 +447,32 @@ def test_lsh_plan_construction_is_action_free(spark):
     S.cosine_near_dup_pairs(df, 0.9, n_planes=16, bands=4, dim=8)
     after = list(tracker.getJobIdsForGroup(None))
     assert after == before, set(after) - set(before)
+
+
+def test_stratified_sample_map_only(spark):
+    """stratified_sample must compile to a pure filter — no exchange,
+    no Python crossing (the hash decision is one JVM expression)."""
+    from feagen_spark.operators.cleaning import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = _plan(stratified_sample(df, "lang", {"en": 0.5}))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_json_props_extraction_stays_jvm(spark):
+    """get_json_object extraction + aggregate: no Python crossing; the
+    aggregate is map-side combinable (partial_ before the exchange)."""
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}")).alias(
+            "props"
+        ),
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    out = df.groupBy("event_type").agg(F.sum(k).alias("k_sum"))
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower(), plan
