@@ -399,6 +399,53 @@ class CheckpointStore:
         self._save_entry(entry)
         return entry
 
+    def vacuum(
+        self, spark: SparkSession | None = None, grace_s: float = 24 * 3600
+    ) -> list[str]:
+        """Remove crash leftovers the swap discipline can strand:
+
+        - ``.staging-*`` / ``.old-*`` dirs older than ``grace_s`` (the
+          grace period protects writers that are mid-swap right now);
+        - tombstone entry files that no longer shadow anything (their
+          legacy manifest.json entry is gone);
+        - with a session: orphaned ``_stg_``/``_old_`` CATALOG tables
+          from bucketed-mode crashes (no age is tracked for these —
+          only run the catalog sweep when no writer is active).
+
+        Never touches live tables, live entries, or the legacy
+        manifest. Returns what it removed (for the operator's log)."""
+        import shutil
+
+        removed: list[str] = []
+        now = time.time()
+        for fn in os.listdir(self.root):
+            p = os.path.join(self.root, fn)
+            if (
+                (".staging-" in fn or ".old-" in fn)
+                and os.path.isdir(p)
+                and now - os.path.getmtime(p) >= grace_s
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(fn)
+        legacy = self._load_legacy()
+        for fn in sorted(os.listdir(self.manifest_dir)):
+            if not fn.endswith(".json"):
+                continue
+            fp = os.path.join(self.manifest_dir, fn)
+            with open(fp) as f:
+                e = json.load(f)
+            if e.get("deleted") and e["fingerprint"] not in legacy:
+                os.remove(fp)
+                removed.append(f"manifest.d/{fn}")
+        if spark is not None:
+            for t in spark.catalog.listTables():
+                if t.name.startswith("ckpt_") and (
+                    "_stg_" in t.name or "_old_" in t.name
+                ):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                    removed.append(f"table:{t.name}")
+        return removed
+
     @staticmethod
     def _file_metrics(path: str, ts_col: str | None) -> list[dict]:
         import pyarrow.parquet as pq

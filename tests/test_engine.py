@@ -614,3 +614,45 @@ def test_bucketed_checkpoint_read_survives_catalog_loss(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_vacuum_removes_only_stranded_leftovers(spark, tmp_path):
+    """vacuum(): aged .staging/.old dirs and shadow-less tombstones go;
+    fresh staging (a writer mid-swap), live tables and live entries
+    stay."""
+    import json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_vac")
+    store = CheckpointStore(root)
+    df = spark.range(10).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    store.write(df, "fp_live" * 4, "node_live")
+
+    old_dir = os.path.join(root, "node_live-x.old-dead")
+    fresh_stg = os.path.join(root, "node_live-x.staging-live")
+    os.makedirs(old_dir)
+    os.makedirs(fresh_stg)
+    aged = _time.time() - 48 * 3600
+    os.utime(old_dir, (aged, aged))
+    # tombstone with no legacy manifest behind it
+    with open(os.path.join(root, "manifest.d", "fp_ghost.json"), "w") as f:
+        json.dump({"fingerprint": "fp_ghost", "deleted": True}, f)
+
+    removed = store.vacuum(grace_s=3600)
+    assert "node_live-x.old-dead" in removed
+    assert "manifest.d/fp_ghost.json" in removed
+    assert os.path.isdir(fresh_stg)            # inside grace: kept
+    assert store.exists("fp_live" * 4)         # live entry untouched
+    assert store.read(spark, "fp_live" * 4).count() == 10
+
+    # a tombstone that DOES shadow a legacy entry must survive vacuum
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({"fp_old": {"fingerprint": "fp_old", "path": root}}, f)
+    store.invalidate("fp_old")
+    assert store.vacuum(grace_s=3600) == []
+    assert not store.exists("fp_old")
