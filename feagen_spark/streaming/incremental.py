@@ -179,11 +179,21 @@ def streaming_running_counters(stream: DataFrame) -> DataFrame:
     )
 
 
-def streaming_asof_state(stream: DataFrame) -> DataFrame:
+def streaming_asof_state(
+    stream: DataFrame, ttl_s: float | None = None
+) -> DataFrame:
     """Streaming twin of the C10 as-of backfill: every arriving turn is
     emitted enriched with the STRICTLY-PRIOR conversation state
     (previous role, last tool used) — the state each row would see in a
     leakage-safe batch backfill.
+
+    ``ttl_s`` is the streaming twin of the batch as-of ``tolerance_s``
+    (feature-store staleness TTL): each state field carries its own
+    last-update event time, and a field older than ``ttl_s`` relative
+    to the arriving row is emitted as NULL — expired, exactly as if it
+    had never been observed. (Semantic TTL only: state entries
+    themselves live for the conversation; evicting idle keys for memory
+    is the watermark/timeout knob, orthogonal to freshness.)
 
     Custom stateful operator via applyInPandasWithState: per
     conversation, rows of each micro-batch are processed in (ts,
@@ -199,27 +209,40 @@ def streaming_asof_state(stream: DataFrame) -> DataFrame:
     out_schema = (
         "conv_id string, turn_idx int, prev_role string, last_tool string"
     )
-    state_schema = "last_role string, last_tool string"
+    state_schema = (
+        "last_role string, last_tool string, role_us long, tool_us long"
+    )
+    lim = None if ttl_s is None else int(ttl_s * 1_000_000)
 
     def update(key, pdfs, state: GroupState):
-        last_role, last_tool = state.get if state.exists else (None, None)
+        if state.exists:
+            last_role, last_tool, role_us, tool_us = state.get
+        else:
+            last_role, last_tool, role_us, tool_us = None, None, None, None
         frames = [pdf for pdf in pdfs]
         rows = []
         if frames:
             batch = pd.concat(frames).sort_values(["ts", "turn_idx"])
             for r in batch.itertuples():
+                cur_us = r.ts.value // 1000  # pandas ns → event-time us
+                pr, lt = last_role, last_tool
+                if lim is not None:
+                    if role_us is None or cur_us - role_us > lim:
+                        pr = None
+                    if tool_us is None or cur_us - tool_us > lim:
+                        lt = None
                 rows.append(
                     {
                         "conv_id": key[0],
                         "turn_idx": int(r.turn_idx),
-                        "prev_role": last_role,
-                        "last_tool": last_tool,
+                        "prev_role": pr,
+                        "last_tool": lt,
                     }
                 )
-                last_role = r.role
+                last_role, role_us = r.role, cur_us
                 if r.role == "tool" and r.tool:
-                    last_tool = r.tool
-        state.update((last_role, last_tool))
+                    last_tool, tool_us = r.tool, cur_us
+        state.update((last_role, last_tool, role_us, tool_us))
         yield pd.DataFrame(
             rows, columns=["conv_id", "turn_idx", "prev_role", "last_tool"]
         )

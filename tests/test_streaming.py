@@ -223,3 +223,81 @@ def test_streaming_asof_state_matches_batch(spark, tiny_transcripts, tmp_path):
         assert (
             got[c].fillna("__n__") == exp[c].fillna("__n__")
         ).all(), c
+
+
+def test_streaming_asof_state_ttl_matches_batch(spark, tiny_transcripts, tmp_path):
+    """ttl_s (streaming twin of batch tolerance_s): state fields older
+    than the TTL at the arriving row's event time come back NULL —
+    checked against the windowed batch formula carrying per-field
+    update timestamps. Non-vacuity asserted: the TTL must actually
+    expire something on this input."""
+    from pyspark.sql.window import Window
+
+    TTL = 300.0
+    d = str(tmp_path / "asof_ttl_in")
+    tiny_transcripts.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = INC.stream_transcripts(spark, d)
+    INC.run_available_now(
+        INC.streaming_asof_state(stream, ttl_s=TTL),
+        "asof_state_ttl",
+        str(tmp_path / "ck_asof_ttl"),
+        output_mode="update",
+    )
+    got = (
+        spark.table("asof_state_ttl")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lim = int(TTL * 1_000_000)
+    tool_val = F.when(
+        (F.col("role") == "tool") & (F.col("tool") != ""), F.col("tool")
+    )
+    tool_us = F.when(
+        (F.col("role") == "tool") & (F.col("tool") != ""), us
+    )
+    exp = (
+        tiny_transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.when(
+                us - F.lag(us, 1).over(w) <= lim, F.lag("role", 1).over(w)
+            ).alias("prev_role"),
+            F.when(
+                us - F.last(tool_us, ignorenulls=True).over(w_prior) <= lim,
+                F.last(tool_val, ignorenulls=True).over(w_prior),
+            ).alias("last_tool"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("prev_role", "last_tool"):
+        assert (
+            got[c].fillna("~") == exp[c].fillna("~")
+        ).all(), c
+
+    # non-vacuous: the no-TTL run must disagree somewhere (something
+    # actually expired under the TTL)
+    INC.run_available_now(
+        INC.streaming_asof_state(INC.stream_transcripts(spark, d)),
+        "asof_state_nottl",
+        str(tmp_path / "ck_asof_nottl"),
+        output_mode="update",
+    )
+    raw = (
+        spark.table("asof_state_nottl")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (
+        (got["prev_role"].fillna("~") != raw["prev_role"].fillna("~")).any()
+        or (got["last_tool"].fillna("~") != raw["last_tool"].fillna("~")).any()
+    )
