@@ -309,3 +309,86 @@ def test_asof_tolerance_numeric_units(spark):
     rows = {r["pos"]: r["v"] for r in out.collect()}
     assert rows[12] == 1.0          # 2 units old
     assert rows[300] is None        # 200 units old: expired
+
+
+# -- property-based: random streams vs a pure-python reference ---------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+def _ref_asof(left_rows, right_rows, strict, tol):
+    """Loop reference: latest admissible right row per left row (ties by
+    arrival index), then the staleness TTL nulls an over-age match."""
+    out = {}
+    for li, (k, lts) in enumerate(left_rows):
+        cands = [
+            (rts, ri, v)
+            for ri, (rk, rts, v) in enumerate(right_rows)
+            if rk == k and (rts < lts if strict else rts <= lts)
+        ]
+        best = max(cands) if cands else None
+        if best is not None and tol is not None and lts - best[0] > tol:
+            best = None
+        out[li] = best[2] if best is not None else None
+    return out
+
+
+if _HYP:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        left=st.lists(
+            st.tuples(st.sampled_from("abc"), st.integers(0, 60)),
+            min_size=1, max_size=12,
+        ),
+        right=st.lists(
+            st.tuples(
+                st.sampled_from("abc"),
+                st.integers(0, 60),
+                st.integers(-5, 5),
+            ),
+            min_size=0, max_size=12,
+        ),
+        strict=st.booleans(),
+        tol=st.one_of(st.none(), st.integers(0, 30)),
+        chunked=st.booleans(),
+    )
+    def test_asof_property_matches_reference(
+        spark, left, right, strict, tol, chunked
+    ):
+        """asof_join and asof_join_chunked on random streams (numeric
+        ordering, duplicate timestamps, empty right sides, TTL on/off)
+        must equal the loop reference exactly."""
+        from feagen_spark.operators.asof import asof_join, asof_join_chunked
+
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(left)],
+            "lid long, k string, pos long",
+        )
+        rdf = spark.createDataFrame(
+            [(i, k, t, float(v)) for i, (k, t, v) in enumerate(right)],
+            "rid long, k string, pos long, v double",
+        ) if right else spark.createDataFrame(
+            [], "rid long, k string, pos long, v double"
+        )
+        kw = dict(
+            on=["k"], left_ts="pos", right_ts="pos", values=["v"],
+            strict=strict, right_order=("rid",), tolerance_s=tol,
+        )
+        fn = asof_join_chunked if chunked else asof_join
+        if chunked:
+            kw["chunk_span"] = 10
+        got = {
+            r["lid"]: r["v"] for r in fn(ldf, rdf, **kw).collect()
+        }
+        want = _ref_asof(left, right, strict, tol)
+        want = {
+            li: (float(v) if v is not None else None)
+            for li, v in want.items()
+        }
+        assert got == want
