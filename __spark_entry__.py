@@ -146,6 +146,24 @@ def q_ev_sessionize(spark, sf_dir):
     return ev.select("event_id", "user_id", F.col("session_id").cast("int"))
 
 
+def q_ev_sessionize_capped(spark, sf_dir):
+    """Capped sessionization (windowed.add_session_id_capped): gap
+    sessions longer than 15 min split at fixed 15-min offsets from
+    their start — bounded per-session state, the production guard
+    against bot/stuck-client runaway sessions. Costs a sort but zero
+    extra exchanges over the plain sessionizer (plan-asserted)."""
+    ev = _events(spark, sf_dir)
+    ev = W.add_session_id_capped(
+        ev, "user_id", EV_ORDER, "ts",
+        gap_s=SESSION_GAP_S, max_duration_s=900,
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.col("session_id").cast("int"),
+        F.col("session_part").cast("int"),
+    )
+
+
 def q_ev_session_aggs(spark, sf_dir):
     ev = _events(spark, sf_dir)
     ev = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
@@ -1175,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rolling_600s": q_ev_rolling_600s,
         "ev_cumulative": q_ev_cumulative,
         "ev_sessionize": q_ev_sessionize,
+        "ev_sessionize_capped": q_ev_sessionize_capped,
         "ev_session_aggs": q_ev_session_aggs,
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
         "ev_asof_chunked": q_ev_asof_chunked,
@@ -1328,6 +1347,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ev_sessionize"] = session_cte + """
         SELECT event_id, user_id, session_id FROM sessions
+    """
+
+    sql["ev_sessionize_capped"] = session_cte + """
+        SELECT event_id, user_id, session_id,
+               CAST(FLOOR((epoch_us(ts)
+                           - min(epoch_us(ts)) OVER
+                             (PARTITION BY user_id, session_id))
+                          / (900 * 1000000.0)) AS INT) AS session_part
+        FROM sessions
     """
 
     sql["ev_session_aggs"] = session_cte + """

@@ -135,6 +135,40 @@ def add_session_id(
     return df.withColumn(out, F.sum(is_new).over(w_cum).cast("int"))
 
 
+def add_session_id_capped(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    max_duration_s: int = 3600,
+    out: str = "session_id",
+    part_out: str = "session_part",
+) -> DataFrame:
+    """Gap sessionization PLUS a maximum session duration — the
+    production variant that caps runaway sessions (bots, stuck clients)
+    so per-session state and aggregates stay bounded: a gap-session
+    longer than ``max_duration_s`` splits at fixed ``max_duration_s``
+    offsets from its own start (part k covers
+    [start + k·max, start + (k+1)·max)). Emits the base gap session in
+    ``out`` and the 0-based duration slice in ``part_out``; the capped
+    session identity is (key, out, part_out).
+
+    Plan shape: the slice is one more window over (key, session) — a
+    REFINEMENT of the sessionizer's key partitioning, which Spark's
+    ClusteredDistribution accepts as-is, so this costs a sort but ZERO
+    additional exchanges (plan-asserted)."""
+    df = add_session_id(df, key, order, ts_col, gap_s, out)
+    keys = [key] if isinstance(key, str) else list(key)
+    w_sess = Window.partitionBy(*keys, out).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    us = F.unix_micros(F.col(ts_col))
+    start = F.min(us).over(w_sess)
+    part = F.floor((us - start) / F.lit(int(max_duration_s) * 1_000_000))
+    return df.withColumn(part_out, part.cast("int"))
+
+
 def session_aggregates(
     df_with_sessions: DataFrame,
     key: str | Sequence[str],

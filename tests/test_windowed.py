@@ -28,3 +28,49 @@ def test_add_rolling_include_current_frame_is_last_n_rows(spark):
     )
     # exclusive: previous 3 rows → [None,1,3,6,9,12]
     assert excl["s"].fillna(-1).tolist() == [-1.0, 1.0, 3.0, 6.0, 9.0, 12.0]
+
+
+def test_session_id_capped_semantics_and_plan(spark):
+    """Capped sessions: part k covers [start + k*max, start + (k+1)*max)
+    within a gap session; a new gap session resets the anchor. The part
+    window refines the sessionizer's key partitioning, so the whole
+    thing still costs exactly ONE exchange."""
+    import re
+
+    from feagen_spark.functions.windowed import add_session_id_capped
+
+    rows = [
+        # one long session (gap 100s never exceeded), 250s span, cap 100s
+        ("u1", 1, 0), ("u1", 2, 50), ("u1", 3, 100), ("u1", 4, 199),
+        ("u1", 5, 250),
+        # gap of 1000s -> new session, anchor resets
+        ("u1", 6, 1250), ("u1", 7, 1349),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, sec long").select(
+        "user_id", "event_id",
+        F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+    )
+    out = add_session_id_capped(
+        df, "user_id", ("ts", "event_id"), "ts",
+        gap_s=100, max_duration_s=100,
+    )
+    # plan BEFORE executing: an executed AQE plan prints final+initial
+    # sections, double-counting every Exchange line
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    got = {
+        r["event_id"]: (r["session_id"], r["session_part"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (0, 0), 2: (0, 0),
+        3: (0, 1),            # exactly at start+max -> next part
+        4: (0, 1), 5: (0, 2),
+        6: (1, 0), 7: (1, 0), # new gap session, anchor reset
+    }, got
+
+    hash_ex = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l) and "hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1, plan
