@@ -164,6 +164,36 @@ def q_ev_sessionize_capped(spark, sf_dir):
     )
 
 
+def q_ev_session_attribution(spark, sf_dir):
+    """Interval CONTAINMENT join (operators/intervals.interval_join):
+    attribute each purchase to the session interval [start, end] that
+    contains it — the attribution workload Spark's planner would turn
+    into a nested-loop theta join if written naively. Here: intervals
+    explode to fixed time chunks, events equi-join on (key, chunk),
+    exact containment filters — linear, never quadratic (plan test
+    pins no BNLJ/cartesian)."""
+    from feagen_spark.operators.intervals import interval_join
+
+    ev = _events(spark, sf_dir)
+    sess = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
+    bounds = W.session_aggregates(sess, "user_id", "ts")
+    intervals = bounds.select(
+        "user_id",
+        "session_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        purchases, intervals, on=["user_id"], chunk_span_s=1800
+    )
+    return out.select(
+        "event_id", "user_id", F.col("session_id").cast("int").alias("session_id")
+    )
+
+
 def q_ev_session_aggs(spark, sf_dir):
     ev = _events(spark, sf_dir)
     ev = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
@@ -1194,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cumulative": q_ev_cumulative,
         "ev_sessionize": q_ev_sessionize,
         "ev_sessionize_capped": q_ev_sessionize_capped,
+        "ev_session_attribution": q_ev_session_attribution,
         "ev_session_aggs": q_ev_session_aggs,
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
         "ev_asof_chunked": q_ev_asof_chunked,
@@ -1356,6 +1387,17 @@ def oracle_sql() -> dict[str, str]:
                              (PARTITION BY user_id, session_id))
                           / (900 * 1000000.0)) AS INT) AS session_part
         FROM sessions
+    """
+
+    sql["ev_session_attribution"] = session_cte + """
+        , bounds AS (
+            SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT p.event_id, p.user_id, b.session_id
+        FROM events p JOIN bounds b
+          ON p.user_id = b.user_id AND p.ts >= b.s AND p.ts <= b.e
+        WHERE p.event_type = 'purchase'
     """
 
     sql["ev_session_aggs"] = session_cte + """

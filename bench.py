@@ -34,6 +34,7 @@ HEADLINE = [
     "ev_cumulative",
     "ev_sessionize",
     "ev_sessionize_capped",
+    "ev_session_attribution",
     "ev_session_aggs",
     "ev_asof_purchase_click",
     "ev_backfill_state",

@@ -789,3 +789,74 @@ def test_connected_components_star_self_loop_parity(spark):
             for r in D.connected_components(df, method=method).collect()
         }
         assert got == {1: 1, 2: 1, 7: 7}, (method, got)
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Containment join: overlapping intervals multi-match, chunk
+    boundaries don't drop or duplicate pairs, end-exclusive mode,
+    left-join keeps unmatched events; plan is an equi-join on
+    (key, chunk) — never a nested-loop/cartesian theta join."""
+    import datetime as dt
+    import re
+
+    from feagen_spark.operators.intervals import interval_join
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    events = spark.createDataFrame(
+        [
+            ("u", 1, ts(100)),
+            ("u", 2, ts(7300)),   # inside long interval, 3rd chunk
+            ("u", 3, ts(9999)),   # matches nothing
+            ("u", 4, ts(500)),    # inside BOTH overlapping intervals
+            ("v", 5, ts(100)),    # right key boundary: u's intervals no
+        ],
+        "k string, event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u", "a", ts(0), ts(1000)),
+            ("u", "b", ts(400), ts(600)),     # overlaps a
+            ("u", "c", ts(7000), ts(7500)),   # spans chunks at span=3600? no: single; use long one
+            ("u", "d", ts(0), ts(8000)),      # spans 3 chunks
+            ("u", "bad", ts(50), ts(10)),     # start > end: dropped
+        ],
+        "k string, iv string, start timestamp, end timestamp",
+    )
+    out = interval_join(
+        events, intervals, on=["k"], chunk_span_s=3600
+    )
+    got = sorted((r["event_id"], r["iv"]) for r in out.collect())
+    assert got == [
+        (1, "a"), (1, "d"),
+        (2, "c"), (2, "d"),
+        (4, "a"), (4, "b"), (4, "d"),
+    ], got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # end-exclusive: event exactly at an interval end no longer matches
+    excl = interval_join(
+        events, intervals, on=["k"], chunk_span_s=3600, end_inclusive=False
+    )
+    ev_end = spark.createDataFrame(
+        [("u", 9, ts(1000))], "k string, event_id long, ts timestamp"
+    )
+    at_end = interval_join(
+        ev_end, intervals, on=["k"], chunk_span_s=3600, end_inclusive=False
+    )
+    assert sorted(r["iv"] for r in at_end.collect()) == ["d"]  # not 'a'
+    assert excl.count() == 7  # no event sits exactly on an end here
+
+    # left join: unmatched events survive with NULL interval columns
+    left = interval_join(
+        events, intervals, on=["k"], chunk_span_s=3600, how="left"
+    )
+    rows = {(r["event_id"], r["iv"]) for r in left.collect()}
+    assert (3, None) in rows and (5, None) in rows
+    assert len(rows) == 9  # 7 matches + 2 null-padded
