@@ -74,3 +74,84 @@ def test_session_id_capped_semantics_and_plan(spark):
         if re.search(r"\bExchange\b", l) and "hashpartitioning" in l
     ]
     assert len(hash_ex) == 1, plan
+
+
+# -- property-based: windowed core vs a loop reference ------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from("ab"),
+                st.integers(0, 200),   # seconds
+                st.integers(-3, 3),    # value
+            ),
+            min_size=1, max_size=25,
+        ),
+        gap=st.integers(5, 60),
+        n=st.integers(1, 4),
+    )
+    def test_windowed_core_property(spark, rows, gap, n):
+        """add_rolling / add_cumulative / add_session_id /
+        add_rolling_time on random irregular streams (duplicate
+        timestamps included) must match a python loop reference —
+        trailing frames strictly exclude the current row, sessions
+        split at delta > gap, time frames exclude equal-ts peers."""
+        from feagen_spark.functions.windowed import (
+            add_cumulative,
+            add_rolling,
+            add_rolling_time,
+            add_session_id,
+        )
+
+        data = [
+            (i, k, s, float(v)) for i, (k, s, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "rid long, k string, sec long, v double"
+        ).select(
+            "rid", "k", "v",
+            F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+        )
+        order = ("ts", "rid")
+        out = add_rolling(df, "k", order, F.sum("v"), "roll", last_n=n)
+        out = add_cumulative(out, "k", order, F.count(F.lit(1)), "n_prior")
+        out = add_session_id(out, "k", order, "ts", gap_s=gap)
+        out = add_rolling_time(
+            out, "k", "ts", F.sum("v"), "troll", last_seconds=gap
+        )
+        got = {
+            r["rid"]: (r["roll"], r["n_prior"], r["session_id"], r["troll"])
+            for r in out.collect()
+        }
+
+        by_key: dict = {}
+        for i, (k, s, v) in enumerate(rows):
+            by_key.setdefault(k, []).append((s, i, float(v)))
+        want = {}
+        for k, seq in by_key.items():
+            seq.sort()
+            sess = 0
+            for pos, (s, i, v) in enumerate(seq):
+                prior = seq[max(0, pos - n):pos]
+                roll = sum(x[2] for x in prior) if prior else None
+                if pos > 0 and s - seq[pos - 1][0] > gap:
+                    sess += 1
+                troll_rows = [
+                    x for x in seq[:pos] if s - gap <= x[0] < s
+                ]
+                troll = (
+                    sum(x[2] for x in troll_rows) if troll_rows else None
+                )
+                want[i] = (roll, pos, sess, troll)
+        assert got == want
