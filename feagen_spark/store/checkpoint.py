@@ -359,6 +359,17 @@ class CheckpointStore:
             if spark.catalog.tableExists(name):
                 spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
                 renamed_old = True
+            else:
+                # wiped-manifest / invalidated-entry leftovers: the
+                # catalog has no such table (fresh session) but the
+                # MANAGED location may still exist on disk — RENAME TO
+                # would then fail with LOCATION_ALREADY_EXISTS. The dir
+                # is unreachable (no catalog entry, no manifest entry —
+                # the fingerprint was judged absent or we wouldn't be
+                # writing) and _table_name scopes locations per store
+                # root, so removing it is safe. Found by a spark-submit
+                # drive against a half-wiped demo store.
+                self._remove_orphan_location(spark, name)
             try:
                 spark.sql(f"ALTER TABLE {staging_tbl} RENAME TO {name}")
             except Exception:
@@ -398,6 +409,20 @@ class CheckpointStore:
         }
         self._save_entry(entry)
         return entry
+
+    @staticmethod
+    def _remove_orphan_location(spark: SparkSession, table_name: str) -> None:
+        """Delete a managed-table location that exists on disk with no
+        catalog entry behind it (manifest wiped / entry invalidated in a
+        prior session)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = urlparse(wh).path if wh.startswith("file:") else wh
+        loc = os.path.join(wh_path, table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
 
     def vacuum(
         self, spark: SparkSession | None = None, grace_s: float = 24 * 3600

@@ -656,3 +656,35 @@ def test_vacuum_removes_only_stranded_leftovers(spark, tmp_path):
     store.invalidate("fp_old")
     assert store.vacuum(grace_s=3600) == []
     assert not store.exists("fp_old")
+
+
+def test_bucketed_rewrite_after_wiped_manifest(spark, tmp_path):
+    """Manifest wiped (or entry invalidated) in a prior session while
+    the MANAGED warehouse location survives: the rewrite must clear the
+    orphaned location instead of dying on LOCATION_ALREADY_EXISTS —
+    found by a spark-submit drive against a half-wiped demo store."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_orphan")
+    store = CheckpointStore(root, bucket_by=(2, "conv_id"))
+    df = spark.range(10).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    entry = store.write(df, "fp_orph" * 4, "node_orph")
+    tbl, path = entry["table"], entry["path"]
+
+    # simulate the wipe + restart: data dir survives, catalog and
+    # manifest do not
+    stash = str(tmp_path / "stash_orph")
+    shutil.copytree(path, stash)
+    spark.sql(f"DROP TABLE {tbl}")           # also deletes the location
+    shutil.copytree(stash, path)             # ...restore the orphan dir
+    shutil.rmtree(store.manifest_dir)
+
+    store2 = CheckpointStore(root, bucket_by=(2, "conv_id"))
+    assert not store2.exists("fp_orph" * 4)
+    store2.write(df, "fp_orph" * 4, "node_orph")   # must not raise
+    assert store2.read(spark, "fp_orph" * 4).count() == 10
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
