@@ -306,6 +306,41 @@ def q_ev_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_ev_asof_nearest(spark, sf_dir):
+    """Nearest-in-time join (asof_join_nearest — the merge_asof
+    direction='nearest' analogue): each purchase gets the click with
+    the smallest |ts distance| in EITHER direction, bounded to 1200 s;
+    distance ties prefer the earlier (backward) click. Two union+window
+    passes, no range join."""
+    from feagen_spark.operators.asof import asof_join_nearest
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        on=["user_id"],
+        values=["click_value"],
+        right_order=("event_id",),
+        tolerance_s=1200,
+        include_right_ts="click_ts",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("nearest_click_value"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
+            "nearest_click_us"
+        ),
+    )
+
+
 def q_ev_backfill_state(spark, sf_dir):
     """As-of state snapshot at EVERY event (C10): latest strictly-prior
     click/view values carried forward per user."""
@@ -1229,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
         "ev_asof_chunked": q_ev_asof_chunked,
         "ev_asof_tolerance": q_ev_asof_tolerance,
+        "ev_asof_nearest": q_ev_asof_nearest,
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
         "ev_type_counts": q_ev_type_counts,
@@ -1453,6 +1489,29 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN epoch_us(ts) - last_click_us <= 600000000
                     THEN last_click_us END AS last_click_us
         FROM st WHERE event_type = 'purchase'
+    """
+
+    # nearest: correlated LATERAL subquery ranked by |distance| with the
+    # operator's exact tie rules (backward on cross-side ties; max id
+    # within backward, min id within forward)
+    sql["ev_asof_nearest"] = """
+        SELECT p.user_id, p.event_id,
+               round(p.value, 6) AS purchase_value,
+               sub.v AS nearest_click_value,
+               sub.us AS nearest_click_us
+        FROM events p
+        LEFT JOIN LATERAL (
+            SELECT round(c.value, 6) AS v, epoch_us(c.ts) AS us
+            FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1200000000
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                     (epoch_us(c.ts) > epoch_us(p.ts)),
+                     CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts)
+                          THEN -c.event_id ELSE c.event_id END
+            LIMIT 1
+        ) sub ON TRUE
+        WHERE p.event_type = 'purchase'
     """
 
     sql["ev_backfill_state"] = f"""

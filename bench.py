@@ -46,6 +46,7 @@ HEADLINE = [
     "ev_value_zscore",
     "ev_value_zscore_trailing",
     "ev_asof_tolerance",
+    "ev_asof_nearest",
     "ev_stratified_sample",
     "ev_json_props",
     "doc_mixture_report",

@@ -228,6 +228,98 @@ def asof_join(
     return _asof_project(au, u, include_right_ts)
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    values: Sequence[str] | None = None,
+    right_order: Sequence[str] = (),
+    value_prefix: str = "",
+    tolerance_s: float | None = None,
+    include_right_ts: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time join (pandas ``merge_asof(direction='nearest')``
+    analogue — sensor fusion / closest-reading attachment): each left
+    row gets the right row with the SMALLEST |ts difference|, looking
+    both backward and forward; ``tolerance_s`` bounds the distance in
+    either direction.
+
+    Composition, not a new engine: the backward leg is the inclusive
+    as-of join; the forward leg is the same machinery run on NEGATED
+    event time (so "latest ≤" becomes "earliest ≥"); a map-side
+    projection picks whichever matched closer. Two union+window passes
+    → two exchanges on the keys, still never a range-join explosion.
+
+    Tie rules (deterministic, mirrored in the oracle): equal distance
+    both directions → the BACKWARD (earlier) row wins; equal-ts rows
+    within the backward leg → largest ``right_order`` wins (as-of
+    convention), within the forward leg → smallest. ``right_order``
+    columns must be numeric (they are negated for the forward leg);
+    timestamps only for the ts columns."""
+    on = list(on)
+    if values is None:
+        values = [c for c in right.columns if c not in set(on) | {right_ts}]
+    values = list(values)
+    NEG, BTS, FTS = "__nr_neg", "__nr_bts", "__nr_fts"
+    bp, fp_ = "__nr_b_", "__nr_f_"
+
+    back = asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        values=values, strict=False, right_order=right_order,
+        value_prefix=bp, tolerance_s=tolerance_s, include_right_ts=BTS,
+    )
+
+    lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rneg = right.withColumn(
+        NEG, -F.unix_micros(F.col(right_ts).cast("timestamp"))
+    )
+    neg_order = []
+    for c in right_order:
+        rneg = rneg.withColumn(f"__nr_no_{c}", -F.col(c))
+        neg_order.append(f"__nr_no_{c}")
+    fwd = asof_join(
+        back.withColumn(NEG, -lus),
+        rneg,
+        on=on,
+        left_ts=NEG,
+        right_ts=NEG,
+        values=values,
+        strict=False,
+        right_order=neg_order,
+        value_prefix=fp_,
+        # NEG is numeric (negated µs) → tolerance is in column units
+        tolerance_s=None if tolerance_s is None else tolerance_s * 1_000_000,
+        include_right_ts=FTS,
+    )
+
+    bdelta = lus - F.unix_micros(F.col(BTS).cast("timestamp"))
+    fdelta = (-F.col(FTS)) - lus
+    choose_back = F.col(BTS).isNotNull() & (
+        F.col(FTS).isNull() | (bdelta <= fdelta)
+    )
+    out = fwd
+    for v in values:
+        out = out.withColumn(
+            f"{value_prefix}{v}",
+            F.when(choose_back, F.col(f"{bp}{v}")).otherwise(
+                F.col(f"{fp_}{v}")
+            ),
+        )
+    if include_right_ts:
+        out = out.withColumn(
+            include_right_ts,
+            F.when(choose_back, F.col(BTS).cast("timestamp")).otherwise(
+                F.timestamp_micros(-F.col(FTS))
+            ),
+        )
+    drop = [NEG, BTS, FTS] + [f"{bp}{v}" for v in values] + [
+        f"{fp_}{v}" for v in values
+    ]
+    return out.drop(*drop)
+
+
 def asof_join_chunked(
     left: DataFrame,
     right: DataFrame,

@@ -392,3 +392,51 @@ if _HYP:
             for li, v in want.items()
         }
         assert got == want
+
+
+def test_asof_nearest_tie_rules_and_tolerance(spark):
+    """Nearest-direction join corners: cross-side exact-distance tie →
+    backward wins; forward-only match; tolerance expires both
+    directions; equal-ts ties pick max id backward / min id forward."""
+    import datetime as dt
+
+    from feagen_spark.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2025, 6, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    right = spark.createDataFrame(
+        [
+            ("u", 1, ts(90), 1.0),     # 10s before left@100
+            ("u", 2, ts(110), 2.0),    # 10s after  left@100 (tie: back wins)
+            ("u", 3, ts(500), 3.0),    # forward-only for left@450
+            ("u", 4, ts(5000), 4.0),   # beyond tolerance for left@3000
+            ("w", 5, ts(200), 5.0),    # equal-ts pair...
+            ("w", 6, ts(200), 6.0),    # ...same ts, larger id
+            ("x", 7, ts(300), 7.0),    # forward equal-ts pair...
+            ("x", 8, ts(300), 8.0),
+        ],
+        "k string, rid long, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [
+            ("u", 100, ts(100)), ("u", 101, ts(450)), ("u", 102, ts(3000)),
+            ("w", 103, ts(200)),   # equal ts, inclusive backward: max rid
+            ("x", 104, ts(250)),   # forward only: min rid at equal ts
+        ],
+        "k string, lid long, ts timestamp",
+    )
+
+    out = asof_join_nearest(
+        left, right, on=["k"], values=["v"], right_order=("rid",),
+        tolerance_s=600, include_right_ts="src_ts",
+    )
+    got = {r["lid"]: (r["v"], r["src_ts"]) for r in out.collect()}
+    assert got[100][0] == 1.0          # tie at 10s: backward wins
+    assert got[101][0] == 3.0          # only a forward match exists
+    assert got[102] == (None, None)    # nearest is 2000s away: expired
+    assert got[103][0] == 6.0          # equal-ts backward: max rid
+    assert got[104][0] == 7.0          # forward equal-ts: min rid
+    assert got[100][1] == ts(90) and got[101][1] == ts(500)
