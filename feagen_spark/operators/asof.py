@@ -262,6 +262,13 @@ def asof_join_nearest(
     if values is None:
         values = [c for c in right.columns if c not in set(on) | {right_ts}]
     values = list(values)
+    for c in right_order:
+        if not isinstance(right.schema[c].dataType, T.NumericType):
+            raise ValueError(
+                f"asof_join_nearest right_order columns must be numeric "
+                f"(they are negated for the forward leg); {c!r} is "
+                f"{right.schema[c].dataType.simpleString()}"
+            )
     NEG, BTS, FTS = "__nr_neg", "__nr_bts", "__nr_fts"
     bp, fp_ = "__nr_b_", "__nr_f_"
 

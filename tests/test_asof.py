@@ -440,3 +440,21 @@ def test_asof_nearest_tie_rules_and_tolerance(spark):
     assert got[103][0] == 6.0          # equal-ts backward: max rid
     assert got[104][0] == 7.0          # forward equal-ts: min rid
     assert got[100][1] == ts(90) and got[101][1] == ts(500)
+
+
+def test_asof_nearest_rejects_non_numeric_tiebreak(spark):
+    """Non-numeric right_order would die inside the forward-leg negation
+    with an opaque analysis error — fail with the contract instead."""
+    import datetime as dt
+
+    from feagen_spark.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2025, 6, 1)
+    right = spark.createDataFrame(
+        [("u", "a", t0, 1.0)], "k string, tag string, ts timestamp, v double"
+    )
+    left = spark.createDataFrame([("u", t0)], "k string, ts timestamp")
+    with pytest.raises(ValueError, match="must be numeric"):
+        asof_join_nearest(
+            left, right, on=["k"], values=["v"], right_order=("tag",)
+        )
