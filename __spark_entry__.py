@@ -84,25 +84,40 @@ def _us(col) -> F.Column:
 # ---------------------------------------------------------------------------
 
 def q_ev_lag_lead(spark, sf_dir):
+    """Lag/lead (C4) + ts-delta (C3) + leakage-safe cumulative (C6) in
+    ONE query: all four operators share the same (user_id → ts,
+    event_id) window partitioning, so Catalyst collapses them into one
+    Window exec over one exchange. Merged (r5) so every operator keeps a
+    driver CORRECTNESS row inside the artifact's 50-entry cap."""
     ev = _events(spark, sf_dir)
     ev = W.add_lag_lead(ev, "user_id", EV_ORDER, "event_type", lags=(1,), leads=(1,))
     ev = W.add_ts_delta(ev, "user_id", EV_ORDER, "ts")
+    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_so_far")
+    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.sum("value"), "cum_value")
     return ev.select(
         "event_id",
         "user_id",
         F.col("event_type_lag_1").alias("prev_event_type"),
         F.col("event_type_lead_1").alias("next_event_type"),
         F.round("ts_delta_prev_s", 6).alias("ts_delta_prev_s"),
+        F.col("n_so_far").cast("long").alias("n_so_far"),
+        F.round(F.coalesce("cum_value", F.lit(0.0)), 6).alias("cum_value"),
     )
 
 
 def q_ev_rolling(spark, sf_dir):
+    """Rolling row-frame counts (C5, last-10 rows) + rolling time-range
+    count (C5, last 600 s) — one query, same key partitioning (the time
+    frame re-sorts within the partition; no second exchange)."""
     ev = _events(spark, sf_dir)
     ev = W.add_rolling(
         ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_last_10", last_n=10
     )
     ev = W.add_rolling(
         ev, "user_id", EV_ORDER, F.sum("value"), "value_sum_last_10", last_n=10
+    )
+    ev = W.add_rolling_time(
+        ev, "user_id", "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
     )
     return ev.select(
         "event_id",
@@ -111,48 +126,25 @@ def q_ev_rolling(spark, sf_dir):
         F.round(F.coalesce("value_sum_last_10", F.lit(0.0)), 6).alias(
             "value_sum_last_10"
         ),
-    )
-
-
-def q_ev_rolling_600s(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    ev = W.add_rolling_time(
-        ev, "user_id", "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
         F.coalesce(F.col("n_events_600s"), F.lit(0)).cast("long").alias(
             "n_events_600s"
         ),
     )
 
 
-def q_ev_cumulative(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_so_far")
-    ev = W.add_cumulative(ev, "user_id", EV_ORDER, F.sum("value"), "cum_value")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.col("n_so_far").cast("long").alias("n_so_far"),
-        F.round(F.coalesce("cum_value", F.lit(0.0)), 6).alias("cum_value"),
-    )
-
-
 def q_ev_sessionize(spark, sf_dir):
+    """Gap sessionization (C7, add_session_id → session_id_plain) AND
+    the capped variant (add_session_id_capped → session_id +
+    session_part: gap sessions longer than 15 min split at fixed 15-min
+    offsets — the production guard against bot/stuck-client runaway
+    sessions). Both operators run; the oracle checks that the capped
+    session_id equals the plain one AND the duration slices. The slice
+    window refines the key partitioning → still one exchange."""
     ev = _events(spark, sf_dir)
-    ev = W.add_session_id(ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S)
-    return ev.select("event_id", "user_id", F.col("session_id").cast("int"))
-
-
-def q_ev_sessionize_capped(spark, sf_dir):
-    """Capped sessionization (windowed.add_session_id_capped): gap
-    sessions longer than 15 min split at fixed 15-min offsets from
-    their start — bounded per-session state, the production guard
-    against bot/stuck-client runaway sessions. Costs a sort but zero
-    extra exchanges over the plain sessionizer (plan-asserted)."""
-    ev = _events(spark, sf_dir)
+    ev = W.add_session_id(
+        ev, "user_id", EV_ORDER, "ts", gap_s=SESSION_GAP_S,
+        out="session_id_plain",
+    )
     ev = W.add_session_id_capped(
         ev, "user_id", EV_ORDER, "ts",
         gap_s=SESSION_GAP_S, max_duration_s=900,
@@ -161,6 +153,7 @@ def q_ev_sessionize_capped(spark, sf_dir):
         "event_id", "user_id",
         F.col("session_id").cast("int"),
         F.col("session_part").cast("int"),
+        F.col("session_id_plain").cast("int"),
     )
 
 
@@ -271,47 +264,23 @@ def q_ev_asof_chunked(spark, sf_dir):
     )
 
 
-def q_ev_asof_tolerance(spark, sf_dir):
-    """As-of join with a STALENESS TTL (feature-store semantics, e.g.
-    Feast's ttl): the latest strictly-prior click is attached only if it
-    is at most 600 s older than the purchase — older state is treated as
-    expired (NULL, as if no click existed). Also emits the matched
-    click's timestamp (`include_right_ts` — the "feature as-of WHEN?"
-    audit column)."""
-    ev = _events(spark, sf_dir)
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id"), F.col("value").alias("purchase_value")
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
-    )
-    out = asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        values=["click_value"],
-        strict=True,
-        right_order=("event_id",),
-        tolerance_s=600,
-        include_right_ts="click_ts",
-    )
-    return out.select(
-        "user_id",
-        "event_id",
-        F.round("purchase_value", 6).alias("purchase_value"),
-        F.round("click_value", 6).alias("last_click_value"),
-        F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
-            "last_click_us"
-        ),
-    )
+def q_ev_asof_ttl_nearest(spark, sf_dir):
+    """Two as-of variants over the SAME purchase←click workload, merged
+    into one driver entry (r5, 50-entry artifact cap):
 
+    1. Staleness-TTL as-of (feature-store semantics, e.g. Feast's ttl):
+       the latest strictly-prior click is attached only if it is at most
+       600 s older than the purchase — older state is expired (NULL).
+       `include_right_ts` emits the matched click's ts (the "feature
+       as-of WHEN?" audit column).
+    2. Nearest-in-time join (asof_join_nearest — merge_asof
+       direction='nearest' analogue): the click with the smallest
+       |ts distance| in EITHER direction, bounded to 1200 s; distance
+       ties prefer the earlier (backward) click. Two union+window
+       passes, no range join.
 
-def q_ev_asof_nearest(spark, sf_dir):
-    """Nearest-in-time join (asof_join_nearest — the merge_asof
-    direction='nearest' analogue): each purchase gets the click with
-    the smallest |ts distance| in EITHER direction, bounded to 1200 s;
-    distance ties prefer the earlier (backward) click. Two union+window
-    passes, no range join."""
+    The two results are equi-joined on the purchase identity — purely a
+    correctness harness step; each operator stays one/two exchanges."""
     from feagen_spark.operators.asof import asof_join_nearest
 
     ev = _events(spark, sf_dir)
@@ -321,7 +290,25 @@ def q_ev_asof_nearest(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value"), "event_id"
     )
-    out = asof_join_nearest(
+    tol = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        values=["click_value"],
+        strict=True,
+        right_order=("event_id",),
+        tolerance_s=600,
+        include_right_ts="click_ts",
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("last_click_value"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
+            "last_click_us"
+        ),
+    )
+    near = asof_join_nearest(
         purchases,
         clicks,
         on=["user_id"],
@@ -329,16 +316,15 @@ def q_ev_asof_nearest(spark, sf_dir):
         right_order=("event_id",),
         tolerance_s=1200,
         include_right_ts="click_ts",
-    )
-    return out.select(
+    ).select(
         "user_id",
         "event_id",
-        F.round("purchase_value", 6).alias("purchase_value"),
         F.round("click_value", 6).alias("nearest_click_value"),
         F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
             "nearest_click_us"
         ),
     )
+    return tol.join(near, on=["user_id", "event_id"])
 
 
 def q_ev_backfill_state(spark, sf_dir):
@@ -375,15 +361,29 @@ def q_ev_topk_per_user(spark, sf_dir):
     )
 
 
-def q_ev_type_counts(spark, sf_dir):
+def q_ev_user_profile(spark, sf_dir):
+    """Per-user profile: generic groupBy aggregates (count/avg) AND the
+    pivot operator (fixed-vocabulary event_type count matrix) — merged
+    into one entry (r5, 50-entry artifact cap). The two aggregates
+    share the user_id grouping; the join is the harness stitch."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("user_id").agg(
+    aggs = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+                for c in ["click", "view", "purchase", "signup", "error"]
+            ],
+        )
+    )
+    return aggs.join(pivoted, on="user_id")
 
 
 def q_ev_asof_inclusive(spark, sf_dir):
@@ -406,23 +406,6 @@ def q_ev_asof_inclusive(spark, sf_dir):
     )
 
 
-def q_ev_pivot_counts(spark, sf_dir):
-    """Pivot: per-user event_type count matrix (fixed vocabulary)."""
-    ev = _events(spark, sf_dir)
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
-        .count()
-    )
-    return out.select(
-        "user_id",
-        *[
-            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
-            for c in ["click", "view", "purchase", "signup", "error"]
-        ],
-    )
-
-
 def q_ev_value_median(spark, sf_dir):
     """Exact interpolated median + p90 per event_type (percentile ==
     DuckDB quantile_cont)."""
@@ -439,17 +422,39 @@ def q_ev_value_median(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_ev_value_zscore(spark, sf_dir):
-    """Group-wise z-score normalization of event values per event_type
-    (functions/windowed.add_group_zscore): the standard feature-scaling
-    step before bundling; full-group statistic, label-free
-    preprocessing (see the operator's leakage note)."""
+def q_ev_value_scaling(spark, sf_dir):
+    """The feature-scaling trio in one entry (r5, 50-entry artifact
+    cap) — three distinct operators over the same event rows:
+
+    1. add_group_zscore (full-group statistic per event_type —
+       label-free preprocessing only, see the operator's leakage note);
+    2. add_rolling_zscore (LEAKAGE-SAFE: each event normalized against
+       its user's previous 10 events only — the trailing frame ends at
+       -1; prefix-invariance is property-tested in
+       test_leakage_property);
+    3. rank normalization: ntile decile + percent_rank within the
+       user's history (robust to outliers where z-score is not).
+
+    Windows 2 and 3 share the user_id partitioning (one exchange);
+    window 1 adds the event_type exchange."""
     ev = _events(spark, sf_dir)
-    out = W.add_group_zscore(ev, "event_type", "value")
-    return out.select(
+    ev = W.add_group_zscore(ev, "event_type", "value")
+    ev = W.add_rolling_zscore(
+        ev, "user_id", "value", order=("ts", "event_id"), n=10
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
         "event_id",
+        "user_id",
         "event_type",
         (F.round("value_zscore", 6) + 0.0).alias("value_zscore"),
+        (F.round("value_zscore_trailing", 6) + 0.0).alias(
+            "value_zscore_trailing"
+        ),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
     )
 
 
@@ -469,26 +474,6 @@ def q_ev_stratified_sample(spark, sf_dir):
         id_col="event_id",
     )
     return out.select("event_id", "user_id", "event_type")
-
-
-def q_ev_value_zscore_trailing(spark, sf_dir):
-    """LEAKAGE-SAFE z-score (functions/windowed.add_rolling_zscore):
-    each event normalized against the previous 10 events of the same
-    user only — the trailing frame ends at -1, so the statistic never
-    sees the current row or anything later. This is the variant that
-    can live INSIDE the point-in-time feature suite (VERDICT r3 #6);
-    prefix-invariance is property-tested in test_leakage_property."""
-    ev = _events(spark, sf_dir)
-    out = W.add_rolling_zscore(
-        ev, "user_id", "value", order=("ts", "event_id"), n=10
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        (F.round("value_zscore_trailing", 6) + 0.0).alias(
-            "value_zscore_trailing"
-        ),
-    )
 
 
 def q_li_rollup(spark, sf_dir):
@@ -531,22 +516,6 @@ def q_li_grouping_sets(spark, sf_dir):
             "sum_qty",
             "n",
         )
-    )
-
-
-def q_ev_value_decile(spark, sf_dir):
-    """Rank-window coverage: ntile decile + percent_rank of each event's
-    value within its user's history — the standard per-entity feature
-    normalization by rank (robust to outliers where z-score is not)."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.ntile(10).over(w).cast("int").alias("decile"),
-        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
     )
 
 
@@ -601,13 +570,30 @@ def q_doc_profile(spark, sf_dir):
     )
 
 
-def q_doc_exact_dedup(spark, sf_dir):
-    """No ``_docs()`` split here (VERDICT r2 #2): exact_dedup's only heavy
+def q_doc_keep_split(spark, sf_dir):
+    """Exact dedup (keep-list) + deterministic train/val/test hash split
+    in one entry (r5, 50-entry artifact cap): per doc, the fold
+    assignment (engine-portable md5 mode — DuckDB reproduces the
+    identical per-row fold) and whether the exact-dedup pass keeps the
+    doc (1 = canonical copy of its normalized text, 0 = dropped dup).
+
+    No ``_docs()`` split here (VERDICT r2 #2): exact_dedup's only heavy
     work is one md5 per row and it already shuffles 32-char digests, not
     text — an up-front full-text repartition costs more than it buys
     (measured 2.9× at sf0.1; at 100 TB it's a needless full-corpus
     shuffle)."""
-    return D.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+    from feagen_spark.operators.cleaning import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, method="md5", weights={"train": 80, "val": 10, "test": 10}
+    ).select("doc_id", "split")
+    kept = D.exact_dedup(docs).select("doc_id", F.lit(1).alias("is_kept"))
+    return split.join(kept, on="doc_id", how="left").select(
+        "doc_id",
+        "split",
+        F.coalesce("is_kept", F.lit(0)).cast("int").alias("is_kept"),
+    )
 
 
 def q_doc_dup_audit(spark, sf_dir):
@@ -617,18 +603,6 @@ def q_doc_dup_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_unique"),
     )
-
-
-def q_doc_hash_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (engine-portable md5
-    mode so DuckDB reproduces the identical per-row fold)."""
-    from feagen_spark.operators.cleaning import hash_split
-
-    out = hash_split(
-        _t(spark, sf_dir, "documents"), method="md5",
-        weights={"train": 80, "val": 10, "test": 10},
-    )
-    return out.select("doc_id", "split")
 
 
 def q_doc_scrub_chunks(spark, sf_dir):
@@ -646,17 +620,32 @@ def q_doc_scrub_chunks(spark, sf_dir):
     )
 
 
-def q_doc_dup_ngrams(spark, sf_dir):
-    """Repetitiousness quality signal: duplicated word-n-gram ratio per
-    doc (Gopher-style repetition filter), JVM map-only. n=2 here: the
-    synthetic corpus draws from a ~50-word vocabulary, so bigrams carry
-    real duplicate mass (5-grams are all-distinct → zero signal)."""
-    out = TS.add_dup_ngram_ratio(_docs(spark, sf_dir), n=2)
-    return out.select(
+def q_doc_quality_signals(spark, sf_dir):
+    """Two per-doc quality signals in one entry (r5, 50-entry artifact
+    cap):
+
+    1. Repetitiousness: duplicated word-n-gram ratio (Gopher-style
+       repetition filter), JVM map-only. n=2: the synthetic corpus
+       draws from a ~50-word vocabulary, so bigrams carry real
+       duplicate mass (5-grams are all-distinct → zero signal).
+    2. CCNet-style mean unigram negative log-probability under the
+       corpus's own unigram distribution (textstats.unigram_logprob —
+       tf groupBy + term-total window + broadcast corpus total).
+
+    Joined on doc_id for the harness; each operator keeps its own plan
+    shape."""
+    docs = _docs(spark, sf_dir)
+    rep = TS.add_dup_ngram_ratio(docs, n=2).select(
         "doc_id",
         F.col("dup_ngram_ratio_n").alias("n_grams"),
         F.round("dup_ngram_ratio", 6).alias("dup_ratio"),
     )
+    lp = TS.unigram_logprob(docs).select(
+        "doc_id",
+        "n_tokens",
+        (F.round("neg_logprob", 6) + 0.0).alias("neg_logprob"),
+    )
+    return rep.join(lp, on="doc_id")
 
 
 def q_doc_tfidf(spark, sf_dir):
@@ -1003,19 +992,6 @@ def q_doc_quality_quota(spark, sf_dir):
     )
 
 
-def q_doc_unigram_logprob(spark, sf_dir):
-    """CCNet-style quality signal: per-doc mean unigram negative
-    log-probability under the corpus's own unigram distribution
-    (textstats.unigram_logprob — tf groupBy + term-total window +
-    broadcast corpus total, three shuffles)."""
-    out = TS.unigram_logprob(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        (F.round("neg_logprob", 6) + 0.0).alias("neg_logprob"),
-    )
-
-
 def q_doc_cluster_split(spark, sf_dir):
     """Leakage-safe train/val/test split: near-duplicate CLUSTERS (not
     documents) are the split unit, so two near-dup docs can never land
@@ -1155,10 +1131,13 @@ def q_emb_lsh_recall(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # doc_minhash_pairs / doc_simhash: oracle-backed since r3 (portable md5
-# hashing); mm_image_features since r4 (md5-chain fake decode). The
-# remaining rows-only queries: emb_lsh_topk (value-covered via
-# emb_lsh_recall), mm_audio_features (real binary WAV decode),
-# tr_golden_features (no driver-side transcript table).
+# hashing); mm_image_features since r4 (md5-chain fake decode);
+# tr_golden_features since r5 (self-written parquet fixture). The ONE
+# remaining rows-only query is mm_audio_features (real binary WAV
+# decode — no SQL twin exists for a codec). emb_lsh_topk's standalone
+# entry was retired in r5 (its values are fully covered by the
+# hash-checked emb_lsh_recall, which runs the same lsh_topk operator
+# against brute force).
 # ---------------------------------------------------------------------------
 
 def q_doc_minhash_pairs(spark, sf_dir):
@@ -1181,14 +1160,6 @@ def q_doc_simhash(spark, sf_dir):
     return D.add_simhash(_docs(spark, sf_dir)).select(
         "doc_id", "simhash"
     )
-
-
-def q_emb_lsh_topk(spark, sf_dir):
-    emb = _embs(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return S.lsh_topk(emb, q, k=5, n_planes=16, bands=8, dim=64)
 
 
 def q_mm_image_features(spark, sf_dir):
@@ -1219,16 +1190,29 @@ def q_mm_audio_features(spark, sf_dir):
     )
 
 
+TR_FIXTURE_PATH = "/tmp/feagen_tr_golden_fixture.parquet"
+
+
 def q_tr_golden_features(spark, sf_dir):
-    """Flagship transcript feature DAG over the synthetic transcript table
-    (BASELINE.json input_hint shape) — rows-only: transcripts are not a
-    driver oracle view."""
+    """Flagship transcript feature DAG over the synthetic transcript
+    table (BASELINE.json input_hint shape) — FULL ORACLE since r5
+    (VERDICT r4 #2): the deterministic fixture is written to parquet
+    here and oracle_sql() recomputes every golden feature over the SAME
+    bytes in DuckDB window SQL, so the north-star artifact itself
+    carries a value hash. ``role_lag_3`` comes from the regex TEMPLATE
+    (A2 expansion) — not a registered node."""
     from feagen_spark.core.dag import FeatureDAG
     from feagen_spark.core.engine import Engine
     from feagen_spark.datagen.transcripts import transcripts
     from feagen_spark.features.turns import transcript_nodes, transcript_templates
 
-    df = transcripts(spark, n_conv=300, giant_convs=3, giant_turns=2000)
+    transcripts(
+        spark, n_conv=300, giant_convs=3, giant_turns=2000
+    ).write.mode("overwrite").parquet(TR_FIXTURE_PATH)
+    # both engines read the identical bytes back (ts precision, layout)
+    df = spark.read.parquet(TR_FIXTURE_PATH).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     dag = FeatureDAG(
         nodes=transcript_nodes(),
         templates=transcript_templates(),
@@ -1238,12 +1222,30 @@ def q_tr_golden_features(spark, sf_dir):
     out = eng.generate(
         df,
         [
-            "text_len", "is_tool_turn", "prev_role", "ts_delta_prev",
-            "turns_so_far", "user_turns_last_10", "tool_calls_last_10",
+            "text_len", "is_tool_turn", "prev_role", "role_lag_3",
+            "ts_delta_prev", "turns_so_far", "cum_tool_calls",
+            "user_turns_last_10", "tool_calls_last_10",
             "tool_calls_last_600s", "session_id", "turn_in_session",
+            "session_start_ts",
         ],
     )
-    return out.drop("text")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text_len").cast("int").alias("text_len"),
+        F.col("is_tool_turn").cast("int").alias("is_tool_turn"),
+        "prev_role",
+        "role_lag_3",
+        (F.round("ts_delta_prev", 6) + 0.0).alias("ts_delta_prev"),
+        F.col("turns_so_far").cast("int").alias("turns_so_far"),
+        F.col("cum_tool_calls").cast("int").alias("cum_tool_calls"),
+        F.col("user_turns_last_10").cast("int").alias("user_turns_last_10"),
+        F.col("tool_calls_last_10").cast("int").alias("tool_calls_last_10"),
+        F.col("tool_calls_last_600s").cast("int").alias("tool_calls_last_600s"),
+        F.col("session_id").cast("int").alias("session_id"),
+        F.col("turn_in_session").cast("int").alias("turn_in_session"),
+        _us(F.col("session_start_ts")).alias("session_start_us"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1252,67 +1254,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry contract (r5): the driver's CORRECTNESS artifact records
+    at most the FIRST 50 entries in dict order (r4 recorded exactly
+    entries 1-50 of 59, dropping the tail — VERDICT r4 #1), so this
+    registry (a) stays at ≤50 entries by merging queries that share a
+    row set (each merged entry still exercises every named operator and
+    its oracle covers all merged columns), and (b) orders oracle-backed
+    entries first with the single rows-only entry (mm_audio_features —
+    real WAV codec, no SQL twin) last, so any future cap shrink drops
+    the weakest evidence first. tools/crosscheck.py enforces both
+    properties."""
     return {
         "ev_lag_lead": q_ev_lag_lead,
         "ev_rolling": q_ev_rolling,
-        "ev_rolling_600s": q_ev_rolling_600s,
-        "ev_cumulative": q_ev_cumulative,
         "ev_sessionize": q_ev_sessionize,
-        "ev_sessionize_capped": q_ev_sessionize_capped,
         "ev_session_attribution": q_ev_session_attribution,
         "ev_session_aggs": q_ev_session_aggs,
         "ev_asof_purchase_click": q_ev_asof_purchase_click,
         "ev_asof_chunked": q_ev_asof_chunked,
-        "ev_asof_tolerance": q_ev_asof_tolerance,
-        "ev_asof_nearest": q_ev_asof_nearest,
+        "ev_asof_ttl_nearest": q_ev_asof_ttl_nearest,
+        "ev_asof_inclusive": q_ev_asof_inclusive,
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
-        "ev_type_counts": q_ev_type_counts,
-        "ev_asof_inclusive": q_ev_asof_inclusive,
-        "ev_pivot_counts": q_ev_pivot_counts,
+        "ev_user_profile": q_ev_user_profile,
         "ev_value_median": q_ev_value_median,
-        "ev_value_zscore": q_ev_value_zscore,
-        "ev_value_zscore_trailing": q_ev_value_zscore_trailing,
+        "ev_value_scaling": q_ev_value_scaling,
         "ev_stratified_sample": q_ev_stratified_sample,
+        "ev_json_props": q_ev_json_props,
+        "ev_feature_dag": q_ev_feature_dag,
+        "ev_incremental_refresh": q_ev_incremental_refresh,
+        "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
         "li_rollup": q_li_rollup,
         "li_grouping_sets": q_li_grouping_sets,
-        "ev_value_decile": q_ev_value_decile,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
         "doc_profile": q_doc_profile,
-        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_keep_split": q_doc_keep_split,
         "doc_dup_audit": q_doc_dup_audit,
         "doc_tfidf": q_doc_tfidf,
-        "doc_dup_ngrams": q_doc_dup_ngrams,
-        "doc_hash_split": q_doc_hash_split,
+        "doc_quality_signals": q_doc_quality_signals,
         "doc_scrub_chunks": q_doc_scrub_chunks,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_canonical": q_doc_dedup_canonical,
         "doc_mixture_report": q_doc_mixture_report,
-        "emb_label_centroids": q_emb_label_centroids,
-        "ev_json_props": q_ev_json_props,
         "doc_cluster_split": q_doc_cluster_split,
         "doc_contamination": q_doc_contamination,
         "doc_quality_quota": q_doc_quality_quota,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
+        "doc_lsh_recall": q_doc_lsh_recall,
+        "doc_sparse_features": q_doc_sparse_features,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_bundle": q_emb_bundle,
-        "ev_feature_dag": q_ev_feature_dag,
-        "doc_lsh_recall": q_doc_lsh_recall,
+        "emb_label_centroids": q_emb_label_centroids,
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_near_dups": q_emb_near_dups,
-        "doc_sparse_features": q_doc_sparse_features,
-        "ev_incremental_refresh": q_ev_incremental_refresh,
-        "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash": q_doc_simhash,
-        # rows-only (no SQL oracle by design — see section comment):
-        "emb_lsh_topk": q_emb_lsh_topk,
         "mm_image_features": q_mm_image_features,
-        "mm_audio_features": q_mm_audio_features,
         "tr_golden_features": q_tr_golden_features,
+        # rows-only (real binary WAV decode — no SQL twin for a codec):
+        "mm_audio_features": q_mm_audio_features,
     }
 
 
@@ -1363,7 +1365,12 @@ def oracle_sql() -> dict[str, str]:
                lag(event_type, 1) OVER ({ev_w}) AS prev_event_type,
                lead(event_type, 1) OVER ({ev_w}) AS next_event_type,
                round((epoch_us(ts) - lag(epoch_us(ts), 1) OVER ({ev_w})) / 1000000.0, 6)
-                   AS ts_delta_prev_s
+                   AS ts_delta_prev_s,
+               count(*) OVER ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS n_so_far,
+               round(coalesce(sum(value) OVER
+                   ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+                   AS cum_value
         FROM events
     """
 
@@ -1373,25 +1380,10 @@ def oracle_sql() -> dict[str, str]:
                    AS n_last_10,
                round(coalesce(sum(value) OVER
                    ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 0), 6)
-                   AS value_sum_last_10
-        FROM events
-    """
-
-    sql["ev_rolling_600s"] = """
-        SELECT event_id, user_id,
+                   AS value_sum_last_10,
                coalesce(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING), 0)
                    AS n_events_600s
-        FROM events
-    """
-
-    sql["ev_cumulative"] = f"""
-        SELECT event_id, user_id,
-               count(*) OVER ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS n_so_far,
-               round(coalesce(sum(value) OVER
-                   ({ev_w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
-                   AS cum_value
         FROM events
     """
 
@@ -1413,15 +1405,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["ev_sessionize"] = session_cte + """
-        SELECT event_id, user_id, session_id FROM sessions
-    """
-
-    sql["ev_sessionize_capped"] = session_cte + """
         SELECT event_id, user_id, session_id,
                CAST(FLOOR((epoch_us(ts)
                            - min(epoch_us(ts)) OVER
                              (PARTITION BY user_id, session_id))
-                          / (900 * 1000000.0)) AS INT) AS session_part
+                          / (900 * 1000000.0)) AS INT) AS session_part,
+               session_id AS session_id_plain
         FROM sessions
     """
 
@@ -1468,7 +1457,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ev_asof_chunked"] = sql["ev_asof_purchase_click"]
 
-    sql["ev_asof_tolerance"] = f"""
+    # TTL leg: carried last-click discarded when older than 600 s.
+    # Nearest leg: correlated LATERAL subquery ranked by |distance| with
+    # the operator's exact tie rules (backward on cross-side ties; max
+    # id within backward, min id within forward). Joined on the
+    # purchase identity — mirrors the merged Spark entry.
+    sql["ev_asof_ttl_nearest"] = f"""
         WITH st AS (
             SELECT *,
                    last_value(CASE WHEN event_type = 'click' THEN value END
@@ -1482,24 +1476,15 @@ def oracle_sql() -> dict[str, str]:
                        AS last_click_us
             FROM events
         )
-        SELECT user_id, event_id,
-               round(value, 6) AS purchase_value,
-               CASE WHEN epoch_us(ts) - last_click_us <= 600000000
-                    THEN round(last_click_value, 6) END AS last_click_value,
-               CASE WHEN epoch_us(ts) - last_click_us <= 600000000
-                    THEN last_click_us END AS last_click_us
-        FROM st WHERE event_type = 'purchase'
-    """
-
-    # nearest: correlated LATERAL subquery ranked by |distance| with the
-    # operator's exact tie rules (backward on cross-side ties; max id
-    # within backward, min id within forward)
-    sql["ev_asof_nearest"] = """
         SELECT p.user_id, p.event_id,
                round(p.value, 6) AS purchase_value,
+               CASE WHEN epoch_us(p.ts) - p.last_click_us <= 600000000
+                    THEN round(p.last_click_value, 6) END AS last_click_value,
+               CASE WHEN epoch_us(p.ts) - p.last_click_us <= 600000000
+                    THEN p.last_click_us END AS last_click_us,
                sub.v AS nearest_click_value,
                sub.us AS nearest_click_us
-        FROM events p
+        FROM st p
         LEFT JOIN LATERAL (
             SELECT round(c.value, 6) AS v, epoch_us(c.ts) AS us
             FROM events c
@@ -1536,13 +1521,15 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 3
     """
 
-    sql["ev_type_counts"] = """
+    sql["ev_user_profile"] = """
         SELECT user_id,
                count(*) AS n_events,
+               round(avg(value), 6) AS avg_value,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-               round(avg(value), 6) AS avg_value
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events GROUP BY user_id
     """
 
@@ -1559,16 +1546,6 @@ def oracle_sql() -> dict[str, str]:
         FROM st WHERE event_type = 'signup'
     """
 
-    sql["ev_pivot_counts"] = """
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        FROM events GROUP BY user_id
-    """
-
     sql["ev_value_median"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS median_value,
@@ -1577,13 +1554,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
 
-    sql["ev_value_zscore"] = """
-        SELECT event_id, event_type,
-               round((value - avg(value) OVER w)
-                     / nullif(stddev_samp(value) OVER w, 0), 6) + 0.0
-                   AS value_zscore
+    sql["ev_value_scaling"] = """
+        SELECT event_id, user_id, event_type,
+               round((value - avg(value) OVER wg)
+                     / nullif(stddev_samp(value) OVER wg, 0), 6) + 0.0
+                   AS value_zscore,
+               round((value - avg(value) OVER wt)
+                     / nullif(stddev_samp(value) OVER wt, 0), 6) + 0.0
+                   AS value_zscore_trailing,
+               CAST(ntile(10) OVER wr AS INT) AS decile,
+               round(percent_rank() OVER wr, 6) + 0.0 AS pct_rank
         FROM events
-        WINDOW w AS (PARTITION BY event_type)
+        WINDOW wg AS (PARTITION BY event_type),
+               wt AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+               wr AS (PARTITION BY user_id ORDER BY value, event_id)
     """
 
     sql["ev_json_props"] = """
@@ -1636,16 +1621,6 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 0 END
     """
 
-    sql["ev_value_zscore_trailing"] = """
-        SELECT event_id, user_id,
-               round((value - avg(value) OVER w)
-                     / nullif(stddev_samp(value) OVER w, 0), 6) + 0.0
-                   AS value_zscore_trailing
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
-    """
-
     sql["li_rollup"] = """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1662,14 +1637,6 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """
-
-    sql["ev_value_decile"] = """
-        SELECT event_id, user_id,
-               CAST(ntile(10) OVER w AS INT) AS decile,
-               round(percent_rank() OVER w, 6) + 0.0 AS pct_rank
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
     """
 
     sql["li_pricing_summary"] = """
@@ -1737,11 +1704,20 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 20
     """
 
-    sql["doc_exact_dedup"] = f"""
-        SELECT doc_id FROM (
-            SELECT doc_id, min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
+    sql["doc_keep_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS INT)
+                   AS is_kept
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b,
+                   min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
             FROM documents
-        ) WHERE doc_id = keeper
+        )
     """
 
     sql["doc_dup_audit"] = f"""
@@ -1750,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY lang
     """
 
-    sql["doc_dup_ngrams"] = """
+    sql["doc_quality_signals"] = """
         WITH t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1763,13 +1739,35 @@ def oracle_sql() -> dict[str, str]:
                                                         CAST(i + 1 AS INT)), ' '))
                        AS grams
             FROM t
+        ), rep AS (
+            SELECT doc_id,
+                   CAST(greatest(k, 0) AS BIGINT) AS n_grams,
+                   round(CASE WHEN k <= 0 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(grams)) / CAST(k AS DOUBLE)
+                         END, 6) AS dup_ratio
+            FROM g
+        ), toksu AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toksu WHERE term != '' GROUP BY 1, 2
+        ), tt AS (
+            SELECT term, sum(tf) AS term_total FROM tf GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(tf) AS DOUBLE) AS total_tokens FROM tf
+        ), sc AS (
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   -sum(tf * ln(term_total / total_tokens)) / sum(tf) AS nl
+            FROM tf JOIN tt USING (term) CROSS JOIN tot
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(greatest(k, 0) AS BIGINT) AS n_grams,
-               round(CASE WHEN k <= 0 THEN 0.0
-                          ELSE 1.0 - len(list_distinct(grams)) / CAST(k AS DOUBLE)
-                     END, 6) AS dup_ratio
-        FROM g
+        SELECT r.doc_id, r.n_grams, r.dup_ratio,
+               coalesce(sc.n_tokens, 0) AS n_tokens,
+               round(sc.nl, 6) + 0.0 AS neg_logprob
+        FROM rep r LEFT JOIN sc USING (doc_id)
     """
 
     # SimHash: recompute the 64-bit sketch in SQL — md5-derived token
@@ -1851,19 +1849,6 @@ def oracle_sql() -> dict[str, str]:
         FROM sized s
         JOIN sums m USING (asset_id)
         JOIN ph p USING (asset_id)
-    """
-
-    sql["doc_hash_split"] = """
-        SELECT doc_id,
-               CASE WHEN b < 80 THEN 'train'
-                    WHEN b < 90 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS UBIGINT) % 100 AS b
-            FROM documents
-        )
     """
 
     _scrub = (
@@ -2042,31 +2027,6 @@ def oracle_sql() -> dict[str, str]:
                         AS UBIGINT) % 100 AS b
             FROM keyed
         )
-    """
-
-    sql["doc_unigram_logprob"] = """
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-            FROM documents
-        ), tf AS (
-            SELECT doc_id, term, count(*) AS tf
-            FROM toks WHERE term != '' GROUP BY 1, 2
-        ), tt AS (
-            SELECT term, sum(tf) AS term_total FROM tf GROUP BY 1
-        ), tot AS (
-            SELECT CAST(sum(tf) AS DOUBLE) AS total_tokens FROM tf
-        ), sc AS (
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   -sum(tf * ln(term_total / total_tokens)) / sum(tf) AS nl
-            FROM tf JOIN tt USING (term) CROSS JOIN tot
-            GROUP BY doc_id
-        )
-        SELECT d.doc_id,
-               coalesce(n_tokens, 0) AS n_tokens,
-               round(nl, 6) + 0.0 AS neg_logprob
-        FROM documents d LEFT JOIN sc USING (doc_id)
     """
 
     # MinHash-LSH pairs, recomputed END-TO-END in SQL (hash_mode='md5'):
@@ -2270,6 +2230,66 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
                    AS last_click_value,
                lag(event_type, 2) OVER ({ev_w}) AS event_type_lag_2
+        FROM sessions
+    """
+
+    # tr_golden_features: the Spark query writes the deterministic
+    # transcript fixture to TR_FIXTURE_PATH before returning, and this
+    # oracle recomputes the full golden feature suite over the SAME
+    # parquet bytes — the north-star artifact's value hash (VERDICT r4
+    # #2). Every feature is the window-SQL twin of features/turns.py;
+    # trailing frames end at 1 PRECEDING (leakage contract), the 600s
+    # frame ends at 1 µs PRECEDING on the epoch_us ordering.
+    tr_w = "PARTITION BY conv_id ORDER BY turn_idx"
+    sql["tr_golden_features"] = f"""
+        WITH src AS (
+            SELECT * FROM read_parquet('{TR_FIXTURE_PATH}/*.parquet')
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER ({tr_w}) IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({tr_w})
+                             > 1800 * 1000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM src
+        ), sessions AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER ({tr_w}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT conv_id, turn_idx,
+               CAST(length(text) AS INT) AS text_len,
+               CAST(CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS INT)
+                   AS is_tool_turn,
+               lag(role, 1) OVER ({tr_w}) AS prev_role,
+               lag(role, 3) OVER ({tr_w}) AS role_lag_3,
+               round((epoch_us(ts) - lag(epoch_us(ts), 1) OVER ({tr_w}))
+                     / 1000000.0, 6) + 0.0 AS ts_delta_prev,
+               CAST(count(*) OVER ({tr_w}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT)
+                   AS turns_so_far,
+               CAST(coalesce(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                   OVER ({tr_w}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+                   AS cum_tool_calls,
+               CAST(coalesce(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                   OVER ({tr_w}
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 0) AS INT)
+                   AS user_turns_last_10,
+               CAST(coalesce(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                   OVER ({tr_w}
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 0) AS INT)
+                   AS tool_calls_last_10,
+               CAST(coalesce(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING), 0) AS INT)
+                   AS tool_calls_last_600s,
+               session_id,
+               CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                   ORDER BY turn_idx) - 1 AS INT) AS turn_in_session,
+               min(epoch_us(ts)) OVER (PARTITION BY conv_id, session_id)
+                   AS session_start_us
         FROM sessions
     """
 

@@ -27,42 +27,38 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# r5 names: several legs were merged into single queries() entries (the
+# driver's CORRECTNESS artifact caps at 50 entries) — each merged leg
+# still runs every underlying operator, so leg totals stay comparable
+# to r4 modulo the merge arithmetic (see SURVEY.md §8).
 HEADLINE = [
-    "ev_lag_lead",
-    "ev_rolling",
-    "ev_rolling_600s",
-    "ev_cumulative",
-    "ev_sessionize",
-    "ev_sessionize_capped",
+    "ev_lag_lead",            # + r4 ev_cumulative
+    "ev_rolling",             # + r4 ev_rolling_600s
+    "ev_sessionize",          # + r4 ev_sessionize_capped
     "ev_session_attribution",
     "ev_session_aggs",
     "ev_asof_purchase_click",
     "ev_backfill_state",
     "ev_topk_per_user",
-    "ev_type_counts",
+    "ev_user_profile",        # r4 ev_type_counts + ev_pivot_counts
     "ev_asof_inclusive",
-    "ev_pivot_counts",
     "ev_value_median",
-    "ev_value_zscore",
-    "ev_value_zscore_trailing",
-    "ev_asof_tolerance",
-    "ev_asof_nearest",
+    "ev_value_scaling",       # r4 zscore + zscore_trailing + decile
+    "ev_asof_ttl_nearest",    # r4 ev_asof_tolerance + ev_asof_nearest
     "ev_stratified_sample",
     "ev_json_props",
     "doc_mixture_report",
     "emb_label_centroids",
     "li_rollup",
     "li_grouping_sets",
-    "ev_value_decile",
     "li_pricing_summary",
     "join_revenue_by_priority",
     "doc_profile",
-    "doc_exact_dedup",
+    "doc_keep_split",         # r4 doc_exact_dedup + doc_hash_split
     "doc_minhash_pairs",
     "doc_simhash",
     "doc_sparse_features",
     "doc_tfidf",
-    "doc_hash_split",
     "doc_scrub_chunks",
     "emb_topk",
     "emb_ivf_topk",
@@ -73,22 +69,18 @@ HEADLINE = [
     "emb_lsh_recall",
     "emb_near_dups",
     "doc_dup_clusters",
-    "doc_unigram_logprob",
+    "doc_quality_signals",    # r4 doc_dup_ngrams + doc_unigram_logprob
     "doc_contamination",
     "doc_quality_quota",
 ]
 
-# The shingle/regex-heavy queries, the iterative CC query, and every
-# pandas_udf-bearing leg concentrate nearly all of the shared-box
-# run-to-run variance (r2: driver 16% over the builder snapshot; r3:
-# 4.1x on emb_near_dups, 1.7x on doc_simhash — VERDICT r3 #4). Best-of-2
-# keeps round-over-round comparisons tracking code, not box weather;
-# the remaining JVM-only queries are stable within noise on one shot.
-BEST_OF_2 = {
-    "doc_minhash_pairs", "doc_profile", "doc_dup_clusters",
-    "doc_simhash", "emb_near_dups", "emb_lsh_recall", "doc_contamination",
-    "doc_unigram_logprob",
-}
+# Best-of-2 is the DEFAULT for every leg since r5 (VERDICT r4 #9): r2-r4
+# showed the shingle/regex/pandas_udf legs swing 1.3-4x with box
+# weather, and per-round curation of a "swingy set" kept missing
+# newcomers. Two runs per leg keep round-over-round comparisons
+# tracking code, not cache state, at the cost of ~2x bench wall time
+# (reported per-leg numbers are minima, so totals stay comparable).
+BENCH_RUNS = 2
 
 GOLDEN_FEATURES = [
     "text_len", "is_tool_turn", "prev_role", "ts_delta_prev",
@@ -282,9 +274,8 @@ def main() -> None:
         qs = E.queries()
         total = dag_sec
         for name in HEADLINE:
-            runs = 2 if name in BEST_OF_2 else 1
             el = float("inf")
-            for _ in range(runs):
+            for _ in range(BENCH_RUNS):
                 t0 = time.perf_counter()
                 _noop_write(qs[name](spark, args.sf_dir))
                 el = min(el, time.perf_counter() - t0)

@@ -100,9 +100,38 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+
+    # Registry guards (VERDICT r4 #1): the driver's CORRECTNESS artifact
+    # records at most the FIRST 50 queries() entries in dict order (r4:
+    # exactly entries 1-50 of 59 were recorded, the tail silently
+    # dropped), so a registry past 50 entries CANNOT get full driver
+    # evidence — fail loudly here instead of losing rows silently.
+    DRIVER_CAP = 50
+    if len(qs) > DRIVER_CAP:
+        print(
+            f"FAIL registry: {len(qs)} queries() entries > driver artifact "
+            f"cap {DRIVER_CAP} — entries beyond #{DRIVER_CAP} get no "
+            f"CORRECTNESS row; merge same-row-set queries instead"
+        )
+        failures += 1
+    orphans = sorted(set(oracles) - set(qs))
+    if orphans:
+        print(f"FAIL registry: oracle_sql() keys without queries(): {orphans}")
+        failures += 1
+    rows_only = [k for k in qs if k not in oracles]
+    tail = list(qs)[len(qs) - len(rows_only):] if rows_only else []
+    if rows_only and rows_only != tail:
+        print(
+            f"FAIL registry: rows-only entries {rows_only} must be LAST in "
+            f"queries() order (oracle-backed evidence drops first otherwise)"
+        )
+        failures += 1
+
+    verdicts = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        verdicts += 1
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -124,6 +153,14 @@ def main() -> int:
         if hard:
             failures += 1
         print(f"{status} {name}: {len(got)} rows" + (f" | {problems}" if problems else ""))
+
+    # full runs must emit one verdict line per registry entry — a query
+    # that silently produced no verdict is a coverage hole, not a pass
+    if not only and verdicts != len(qs):
+        print(f"FAIL coverage: {verdicts} verdict lines != {len(qs)} entries")
+        failures += 1
+    print(f"entries: {len(qs)} (oracle-backed {len(qs) - len(rows_only)}, "
+          f"rows-only {len(rows_only)})")
     print("failures:", failures)
     return 1 if failures else 0
 
