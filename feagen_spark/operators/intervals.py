@@ -38,6 +38,7 @@ def interval_join(
     chunk_span_s: int = 3600,
     end_inclusive: bool = True,
     how: str = "inner",
+    event_id: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Join each event row to the interval rows (same ``on`` key) whose
     [start, end] contains its timestamp (end-inclusive by default; the
@@ -47,10 +48,25 @@ def interval_join(
     events with NULL interval columns (attribution reports need both).
     Overlapping intervals produce one output row per containing
     interval — containment, not as-of, semantics.
+
+    ``event_id`` (required for ``how='left'`` — VERDICT r4 #8 / ADVICE
+    r4): column(s) that uniquely identify an event row. The
+    unmatched-events anti-join keys on these ids only, so (a) wide
+    payload columns never ride the anti-join shuffles, and (b) NULLs in
+    payload columns cannot break the join (a full-row '=' anti-join is
+    null-rejecting: a matched row with any NULL column would be
+    re-emitted as a spurious null-padded duplicate).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
+    # non-key name collisions would make the joined output ambiguous
+    overlap = (set(events.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"events and intervals share non-key columns {sorted(overlap)}; "
+            f"rename one side before interval_join"
+        )
     span_us = int(chunk_span_s) * 1_000_000
 
     ev_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -75,14 +91,22 @@ def interval_join(
     if how == "inner":
         return e.join(iv, on=[*on, _CHUNK]).where(contained).drop(_CHUNK)
     # left: join candidates, keep containment matches, then re-attach
-    # events that matched nothing. The anti-join keys on the event's
-    # identity columns — require them to be the full event row minus
-    # the chunk (cheap: events are the big side exactly once).
+    # events that matched nothing — anti-join keyed on the declared
+    # event ids (ids only ride the extra shuffles, never the payload)
+    if event_id is None:
+        raise ValueError(
+            "interval_join(how='left') needs event_id: the column(s) "
+            "uniquely identifying an event row (the unmatched anti-join "
+            "keys on them)"
+        )
+    ids = [event_id] if isinstance(event_id, str) else list(event_id)
+    missing = [c for c in ids if c not in events.columns]
+    if missing:
+        raise ValueError(f"event_id columns {missing} not in events")
     matched = e.join(iv, on=[*on, _CHUNK]).where(contained).drop(_CHUNK)
-    ev_cols = events.columns
     unmatched = events.join(
-        matched.select(*ev_cols).dropDuplicates(ev_cols),
-        on=ev_cols,
+        matched.select(*ids).dropDuplicates(ids),
+        on=ids,
         how="left_anti",
     )
     return matched.unionByName(unmatched, allowMissingColumns=True)
