@@ -309,16 +309,41 @@ class CheckpointStore:
                 f"node {node_name!r}: NaN values rejected on write: {bad}"
             )
 
+    def _root_tag(self) -> str:
+        """Per-store catalog namespace tag (md5 of the absolute root)."""
+        import hashlib
+
+        return hashlib.md5(
+            os.path.abspath(self.root).encode("utf-8")
+        ).hexdigest()[:8]
+
     def _table_name(self, node_name: str, fingerprint: str) -> str:
         """Catalog identifier for a bucketed checkpoint: scoped by a hash
         of the store ROOT so two stores sharing one warehouse can never
         collide on (node, fingerprint)."""
-        import hashlib
+        return f"ckpt_{self._root_tag()}_{node_name}_{fingerprint[:16]}".lower()
 
-        root_tag = hashlib.md5(
-            os.path.abspath(self.root).encode("utf-8")
-        ).hexdigest()[:8]
-        return f"ckpt_{root_tag}_{node_name}_{fingerprint[:16]}".lower()
+    @staticmethod
+    def _table_location(spark: SparkSession, name: str) -> str:
+        """Filesystem path of a catalog table's location (file: scheme
+        stripped; other schemes returned as-is)."""
+        from urllib.parse import urlparse
+
+        location = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .where("col_name = 'Location'")
+            .first()["data_type"]
+        )
+        return urlparse(location).path if location.startswith("file:") else location
+
+    @staticmethod
+    def _is_external(spark: SparkSession, name: str) -> bool:
+        row = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .where("col_name = 'Type'")
+            .first()
+        )
+        return row is not None and row["data_type"].strip().upper() == "EXTERNAL"
 
     def _write_bucketed(
         self,
@@ -356,9 +381,28 @@ class CheckpointStore:
             audit = obs.get
             self._check_nan(audit, float_cols, node_name)
             renamed_old = False
+            ext_aside = ext_loc = None
             if spark.catalog.tableExists(name):
-                spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
-                renamed_old = True
+                if self._is_external(spark, name):
+                    # post-restart path (ADVICE r4): _register_bucketed
+                    # re-created this table as EXTERNAL, and renaming an
+                    # external table keeps its LOCATION — the aside
+                    # table would still occupy the directory the staging
+                    # rename needs, failing with LOCATION_ALREADY_EXISTS.
+                    # Instead: drop the catalog POINTER (external drop
+                    # never deletes files), move the files aside with one
+                    # atomic dir rename, and only delete them after the
+                    # new version has landed. A failed swap restores the
+                    # files and re-registers the external table, so no
+                    # window destroys the prior version.
+                    ext_loc = self._table_location(spark, name)
+                    spark.sql(f"DROP TABLE {name}")
+                    if os.path.isdir(ext_loc):
+                        ext_aside = f"{ext_loc}.old-{token}"
+                        os.rename(ext_loc, ext_aside)
+                else:
+                    spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
+                    renamed_old = True
             else:
                 # wiped-manifest / invalidated-entry leftovers: the
                 # catalog has no such table (fresh session) but the
@@ -375,10 +419,29 @@ class CheckpointStore:
             except Exception:
                 if renamed_old and not spark.catalog.tableExists(name):
                     spark.sql(f"ALTER TABLE {old_tbl} RENAME TO {name}")
+                if ext_aside is not None and not spark.catalog.tableExists(name):
+                    # restore the prior external version: files back in
+                    # place, then the same re-registration DDL the
+                    # restart path uses
+                    if os.path.isdir(ext_aside) and not os.path.exists(ext_loc):
+                        os.rename(ext_aside, ext_loc)
+                        ext_aside = None
+                    try:
+                        self._register_bucketed(
+                            spark,
+                            {"table": name, "path": ext_loc,
+                             "bucket_by": [n, cols]},
+                        )
+                    except Exception:
+                        pass  # data is intact at ext_loc; re-raise below
                 if not spark.catalog.tableExists(name):
                     raise
             if renamed_old:
                 spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
+            if ext_aside is not None:
+                import shutil
+
+                shutil.rmtree(ext_aside, ignore_errors=True)
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
 
@@ -435,7 +498,10 @@ class CheckpointStore:
           legacy manifest.json entry is gone);
         - with a session: orphaned ``_stg_``/``_old_`` CATALOG tables
           from bucketed-mode crashes (no age is tracked for these —
-          only run the catalog sweep when no writer is active).
+          only run the catalog sweep when no writer is active). The
+          sweep is scoped to THIS store's ``ckpt_<root_tag>_`` prefix
+          (ADVICE r4): vacuuming store A must never drop a mid-swap
+          staging table belonging to store B in the same session.
 
         Never touches live tables, live entries, or the legacy
         manifest. Returns what it removed (for the operator's log)."""
@@ -463,8 +529,9 @@ class CheckpointStore:
                 os.remove(fp)
                 removed.append(f"manifest.d/{fn}")
         if spark is not None:
+            prefix = f"ckpt_{self._root_tag()}_"
             for t in spark.catalog.listTables():
-                if t.name.startswith("ckpt_") and (
+                if t.name.startswith(prefix) and (
                     "_stg_" in t.name or "_old_" in t.name
                 ):
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")

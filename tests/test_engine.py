@@ -688,3 +688,71 @@ def test_bucketed_rewrite_after_wiped_manifest(spark, tmp_path):
     store2.write(df, "fp_orph" * 4, "node_orph")   # must not raise
     assert store2.read(spark, "fp_orph" * 4).count() == 10
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_bucketed_rewrite_after_restart_external_table(spark, tmp_path):
+    """ADVICE r4: after a restart, read() re-registers the bucketed
+    checkpoint as an EXTERNAL table. invalidate()+rewrite of that
+    fingerprint must still succeed: renaming an external table aside
+    keeps its LOCATION, so the old swap discipline collided with the
+    occupied directory (LOCATION_ALREADY_EXISTS). The writer now moves
+    the external files aside with an atomic dir rename and lands the
+    staging table in their place."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_ext")
+    store = CheckpointStore(root, bucket_by=(2, "conv_id"))
+    df = spark.range(20).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    entry = store.write(df, "fp_extr" * 4, "node_ext")
+    tbl, path = entry["table"], entry["path"]
+
+    # simulate the restart (catalog gone, files + manifest intact), then
+    # a read that re-registers the table as EXTERNAL
+    stash = str(tmp_path / "stash_ext")
+    shutil.copytree(path, stash)
+    spark.sql(f"DROP TABLE {tbl}")
+    shutil.copytree(stash, path)
+    assert store.read(spark, "fp_extr" * 4).count() == 20
+    assert spark.catalog.tableExists(tbl)
+    assert CheckpointStore._is_external(spark, tbl)
+
+    # rewrite the same fingerprint with NEW data: must not raise, and
+    # reads must see the new version through the catalog
+    df2 = spark.range(30).select(
+        F.col("id").alias("conv_id"), F.lit(2.0).alias("v")
+    )
+    store.invalidate("fp_extr" * 4)
+    store.write(df2, "fp_extr" * 4, "node_ext")
+    got = store.read(spark, "fp_extr" * 4)
+    assert got.count() == 30
+    assert got.agg(F.sum("v")).first()[0] == 60.0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_vacuum_catalog_sweep_scoped_to_own_store(spark, tmp_path):
+    """ADVICE r4: vacuum()'s catalog sweep must only drop THIS store's
+    ckpt_<root_tag>_ stranded tables — two stores sharing a session,
+    vacuuming A must not kill B's mid-swap staging table."""
+    from pyspark.sql import functions as F
+
+    store_a = CheckpointStore(str(tmp_path / "vacA"), bucket_by=(2, "conv_id"))
+    store_b = CheckpointStore(str(tmp_path / "vacB"), bucket_by=(2, "conv_id"))
+    df = spark.range(5).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    # stranded staging tables for both stores (simulated crash mid-swap)
+    a_stg = store_a._table_name("n", "f" * 16) + "_stg_dead"
+    b_stg = store_b._table_name("n", "f" * 16) + "_stg_dead"
+    df.write.format("parquet").bucketBy(2, "conv_id").saveAsTable(a_stg)
+    df.write.format("parquet").bucketBy(2, "conv_id").saveAsTable(b_stg)
+
+    removed = store_a.vacuum(spark, grace_s=0)
+    assert f"table:{a_stg}" in removed
+    assert not spark.catalog.tableExists(a_stg)
+    assert spark.catalog.tableExists(b_stg)  # B untouched
+    removed_b = store_b.vacuum(spark, grace_s=0)
+    assert f"table:{b_stg}" in removed_b
