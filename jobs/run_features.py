@@ -111,6 +111,35 @@ def main() -> None:
     executed += eng.last_run.executed
     skipped += eng.last_run.skipped
 
+    # backfill stage (SURVEY §2.C C10, VERDICT r4 #7): project the as-of
+    # feature snapshot onto arbitrary (key, ts) label points — the north
+    # rule's headline composition, runnable from config alone. The label
+    # table is read from `backfill.labels_path`; snapshot rows (labels +
+    # feature values as of each label ts, leakage contract per
+    # backfill_snapshots) land at `backfill.output_path`.
+    # (runs on the PRE-bundle feature table: bundling replaces the
+    # scalar feature columns with packed arrays)
+    backfill_rows = None
+    bf = cfg.get("backfill")
+    if bf:
+        from feagen_spark.operators.asof import backfill_snapshots
+
+        labels = spark.read.format(bf.get("format", "parquet")).load(
+            bf["labels_path"]
+        )
+        ts_col = bf.get("ts_col", "ts")
+        if labels.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+            labels = labels.withColumn(ts_col, labels[ts_col].cast("timestamp"))
+        snaps = backfill_snapshots(
+            out,
+            labels,
+            on=tuple(bf.get("on", ["conv_id"])),
+            feature_cols=bf.get("feature_cols"),
+            strict=bool(bf.get("strict", True)),
+        )
+        snaps.write.mode(bf.get("mode", "overwrite")).parquet(bf["output_path"])
+        backfill_rows = spark.read.parquet(bf["output_path"]).count()
+
     if cfg.get("bundle_structure"):
         structure = (
             json.loads(cfg["bundle_structure"])
@@ -139,6 +168,7 @@ def main() -> None:
                 "executed": executed,
                 "skipped": skipped,
                 "output": out_path,
+                "backfill_rows": backfill_rows,
             }
         )
     )
