@@ -975,6 +975,52 @@ def q_ev_session_aggs_streaming(spark, sf_dir):
     return out
 
 
+def q_ev_stream_attribution(spark, sf_dir):
+    """Streaming twin of ev_session_attribution with the SAME DuckDB
+    oracle (VERDICT r4 #10): the events parquet is drained through a
+    real streaming query (file source → watermark → session_window
+    carrying a collect_list of purchase ids per session → availableNow
+    into a memory sink); session ordinals are assigned batch-side
+    (row_number over session_start) and the id lists exploded — the
+    result must be row-identical to the batch interval-attribution
+    oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from feagen_spark.streaming.incremental import (
+        run_available_now,
+        streaming_session_attribution,
+    )
+
+    static = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    attrib = streaming_session_attribution(
+        stream, key="user_id", ts_col="ts", gap_s=SESSION_GAP_S,
+        target_type="purchase",
+    )
+    name = f"ev_stream_attr_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_attr_")
+    run_available_now(attrib, name, ckpt, output_mode="complete")
+    res = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    out = res.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("int").alias("session_id"),
+        "target_ids",
+    ).select(
+        F.explode("target_ids").alias("event_id"), "user_id", "session_id"
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def q_doc_quality_quota(spark, sf_dir):
     """Curation quota sampling: the top 20 docs PER LANGUAGE by quality
     score (ties broken by doc_id) — the stratified keep-list a corpus
@@ -1284,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_feature_dag": q_ev_feature_dag,
         "ev_incremental_refresh": q_ev_incremental_refresh,
         "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
+        "ev_stream_attribution": q_ev_stream_attribution,
         "li_rollup": q_li_rollup,
         "li_grouping_sets": q_li_grouping_sets,
         "li_pricing_summary": q_li_pricing_summary,
@@ -1437,8 +1484,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, session_id
     """
 
-    # the streaming drain must be row-identical to the batch sessionizer
+    # the streaming drains must be row-identical to their batch twins
     sql["ev_session_aggs_streaming"] = sql["ev_session_aggs"]
+    sql["ev_stream_attribution"] = sql["ev_session_attribution"]
 
     sql["ev_asof_purchase_click"] = f"""
         WITH st AS (

@@ -106,6 +106,52 @@ def streaming_session_value_aggs(
     )
 
 
+def streaming_session_attribution(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    event_type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    target_type: str = "purchase",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch interval-attribution composition
+    (sessionize → session bounds → interval_join of purchases): which
+    gap-session does each purchase belong to, computed AS SESSIONS
+    CLOSE on the live stream (VERDICT r4 #10).
+
+    No stream-stream join: a purchase is an event of the stream, so it
+    lands inside exactly one ``session_window`` group by construction —
+    the attribution rides the session aggregate itself as a
+    ``collect_list`` of the target-type event ids (bounded by session
+    size, the same state bound as the aggregate). Output: one row per
+    (key, session) with the session start and the sorted target ids;
+    sessions without targets emit an empty list. Session ordinals are a
+    batch-side finish (row_number over session_start — the
+    ev_session_aggs_streaming pattern), after which exploding the ids
+    reproduces the batch attribution rows exactly."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key),
+            F.session_window(ts_col, f"{gap_s} seconds").alias("session"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(event_type_col) == target_type,
+                        F.col(event_id_col),
+                    )
+                )
+            ).alias("target_ids"),
+            F.min(ts_col).alias("session_start"),
+        )
+        .select(key, "session_start", "target_ids")
+    )
+
+
 def streaming_rolling_role_counts(
     stream: DataFrame,
     window: str = "10 minutes",

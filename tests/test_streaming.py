@@ -301,3 +301,45 @@ def test_streaming_asof_state_ttl_matches_batch(spark, tiny_transcripts, tmp_pat
         (got["prev_role"].fillna("~") != raw["prev_role"].fillna("~")).any()
         or (got["last_tool"].fillna("~") != raw["last_tool"].fillna("~")).any()
     )
+
+
+def test_streaming_session_attribution_matches_batch(
+    spark, tiny_transcripts, stream_dir, tmp_path
+):
+    """streaming_session_attribution (VERDICT r4 #10): tool turns
+    attributed to their gap session as sessions close on the stream ==
+    the batch sessionizer's (conv, turn, session) assignment. Ordinals
+    are the batch-side finish (row_number over session_start), so
+    no-target sessions must still occupy an ordinal."""
+    from pyspark.sql.window import Window
+
+    stream = INC.stream_transcripts(spark, stream_dir)
+    attrib = INC.streaming_session_attribution(
+        stream, key="conv_id", ts_col="ts", gap_s=1800,
+        event_type_col="role", event_id_col="turn_idx",
+        target_type="tool",
+    )
+    INC.run_available_now(
+        attrib, "sess_attr", str(tmp_path / "ck_attr"),
+        output_mode="complete",
+    )
+    w = Window.partitionBy("conv_id").orderBy("session_start")
+    got = {
+        (r["conv_id"], r["turn_idx"], r["session_id"])
+        for r in spark.table("sess_attr")
+        .select(
+            "conv_id",
+            (F.row_number().over(w) - 1).cast("int").alias("session_id"),
+            "target_ids",
+        )
+        .select("conv_id", F.explode("target_ids").alias("turn_idx"), "session_id")
+        .collect()
+    }
+    exp = {
+        (r["conv_id"], r["turn_idx"], r["session_id"])
+        for r in T.add_session_id(tiny_transcripts)
+        .where(F.col("role") == "tool")
+        .select("conv_id", "turn_idx", "session_id")
+        .collect()
+    }
+    assert got == exp and got  # non-empty parity
