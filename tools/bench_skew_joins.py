@@ -1,0 +1,165 @@
+"""Skew evidence for the r5 join operators (VERDICT r4 #3/#4 "What's
+missing" item 4): nearest-direction as-of join plain vs chunked, and the
+interval containment join's chunk-span cost model — both on the
+bench_skew pathological input (one conversation holding 98% of all
+rows). Appends/replaces sections in BENCH/SKEW.md.
+
+Usage: python tools/bench_skew_joins.py [--giant-turns 8000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SEC_NEAREST = "## Nearest as-of join (plain vs chunked legs)"
+SEC_INTERVAL = "## Interval containment join (chunk-span cost model)"
+
+
+def _replace_section(md_path: Path, header: str, section: str) -> None:
+    text = md_path.read_text()
+    if header in text:
+        text = re.sub(
+            re.escape(header) + r".*?(?=\n## |\Z)", section, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section
+    md_path.write_text(text)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--giant-turns", type=int, default=8_000_000)
+    ap.add_argument("--n-conv", type=int, default=2000)
+    ap.add_argument("--n-chunks", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from feagen_spark.datagen.transcripts import transcripts
+    from feagen_spark.functions import windowed as W
+    from feagen_spark.operators.asof import asof_join_nearest
+    from feagen_spark.operators.intervals import interval_join
+    from feagen_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_skew_joins",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    path = f"/tmp/feagen_skew_{args.giant_turns}_{args.n_conv}"
+    if not Path(path, "_SUCCESS").exists():
+        transcripts(
+            spark, n_conv=args.n_conv, giant_convs=1,
+            giant_turns=args.giant_turns, partitions=64,
+        ).repartition(64, "conv_id").write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    right = df.select(
+        "conv_id", "ts", "turn_idx", F.length("text").alias("v")
+    )
+    left = df.where(F.col("turn_idx") % 20 == 7).select("conv_id", "ts")
+    n_right, n_left = right.count(), left.count()
+
+    span = df.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("us")
+    ).first()["us"]
+    chunk_span_s = max(1, int(span / 1_000_000 / args.n_chunks))
+
+    def timed(fn, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    kw = dict(
+        on=["conv_id"], values=["v"], right_order=("turn_idx",),
+        tolerance_s=3600,
+    )
+    t_plain = timed(lambda: asof_join_nearest(left, right, **kw))
+    t_chunk = timed(
+        lambda: asof_join_nearest(
+            left, right, chunked=True, chunk_span_s=chunk_span_s, **kw
+        )
+    )
+
+    sec1 = f"""{SEC_NEAREST}
+
+Same 98%-skewed input: right = {n_right:,} snapshots, left =
+{n_left:,} query points, one conversation holding 98% of both sides;
+tolerance 3600s, chunk_span_s={chunk_span_s:,} (~{args.n_chunks}
+buckets over the giant key's range), local[32], best of 2, noop sink.
+The nearest join runs TWO as-of legs (backward + negated-time forward),
+so plain mode pins TWO single-task windows on the hot key.
+
+| strategy | sec | speedup |
+|---|---|---|
+| plain (both legs single-window) | {t_plain:.2f} | 1.0x |
+| chunked=True (both legs two-pass asof_join_chunked) | {t_chunk:.2f} | {t_plain / t_chunk:.2f}x |
+
+Values identical (tests/test_asof.py::test_asof_nearest_chunked_value_identical
++ the nearest property test's chunked arm).
+
+Regenerate: `python tools/bench_skew_joins.py`.
+"""
+    _replace_section(REPO / "BENCH/SKEW.md", SEC_NEAREST, sec1)
+    print(sec1)
+
+    # interval join: attribute every turn to its containing session
+    # interval — the giant conv contributes both the most intervals and
+    # 98% of the events, so the chunk-banded equi-join IS the skew path
+    sess = W.add_session_id(df, "conv_id", ("turn_idx",), "ts", gap_s=1800)
+    bounds = W.session_aggregates(sess, "conv_id", "ts")
+    intervals = bounds.select(
+        "conv_id", "session_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+    )
+    events = df.select("conv_id", "turn_idx", "ts")
+    n_iv = intervals.count()
+
+    rows = []
+    for cs in (300, 3600, 36000):
+        t = timed(
+            lambda cs=cs: interval_join(
+                events, intervals, on=["conv_id"], chunk_span_s=cs
+            ),
+            runs=2,
+        )
+        rows.append((cs, t))
+    tbl = "\n".join(f"| {cs:,} | {t:.2f} |" for cs, t in rows)
+
+    sec2 = f"""{SEC_INTERVAL}
+
+Attribution workload on the same skewed input: {n_right:,} events x
+{n_iv:,} session intervals (giant conv supplies ~98% of events AND the
+longest interval set). interval_join is chunk-parallel BY CONSTRUCTION
+(intervals explode to time chunks, events equi-join on (key, chunk)),
+so there is no single-task fallback to compare against — the naive
+theta-join alternative plans as a BroadcastNestedLoopJoin (quadratic,
+plan-banned in tests). The knob is chunk span: shorter spans duplicate
+intervals, longer spans widen each event's candidate fan-in; both
+degrade LINEARLY (cost model in operators/intervals.py).
+
+| chunk_span_s | sec (best of 2) |
+|---|---|
+{tbl}
+
+local[32], noop sink. Values are span-invariant (property test sweeps
+spans 1/7/50 against a loop reference).
+
+Regenerate: `python tools/bench_skew_joins.py`.
+"""
+    _replace_section(REPO / "BENCH/SKEW.md", SEC_INTERVAL, sec2)
+    print(sec2)
+
+
+if __name__ == "__main__":
+    main()
