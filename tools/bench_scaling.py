@@ -52,16 +52,22 @@ def main() -> None:
     ap.add_argument("--n-conv", type=int, default=600000)
     ap.add_argument("--giant-turns", type=int, default=50000)
     ap.add_argument("--transcripts-path", default="/tmp/feagen_scaling_transcripts")
-    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--pairs", type=int, default=4)
     args = ap.parse_args()
     (REPO / "BENCH").mkdir(exist_ok=True)
 
     results: dict[int, list[dict]] = {2: [], 8: [], 32: []}
     ratios: dict[str, list[float]] = {"2->8": [], "8->32": []}
     for i in range(args.pairs):
-        r2 = run_level(2, args.transcripts_path, args.n_conv, args.giant_turns)
-        r8 = run_level(8, args.transcripts_path, args.n_conv, args.giant_turns)
-        r32 = run_level(32, args.transcripts_path, args.n_conv, args.giant_turns)
+        # INTERLEAVED level order (VERDICT r4 #6): alternate ascending /
+        # descending within the round-trip so slow machine drift cannot
+        # systematically land on the same level every pair
+        order = (2, 8, 32) if i % 2 == 0 else (32, 8, 2)
+        got = {
+            c: run_level(c, args.transcripts_path, args.n_conv, args.giant_turns)
+            for c in order
+        }
+        r2, r8, r32 = got[2], got[8], got[32]
         results[2].append(r2); results[8].append(r8); results[32].append(r32)
         e28 = (r8["turns_per_sec"] / r2["turns_per_sec"]) / 4.0
         e832 = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
@@ -108,9 +114,11 @@ SAME 64-file parquet input ({rows:,} transcript turns, skewed: 3 giant
 conversations of {args.giant_turns:,} turns) at two parallelism levels.
 
 Protocol: shared-VM throughput drifts over minutes, so each trial is a
-PAIRED round-trip — local[N] then local[4N] back-to-back (fresh JVM
-each, 48g heap, in-JVM best-of-3) — and efficiency is the median of the
-within-pair ratios over {args.pairs} pairs.
+PAIRED round-trip of all three levels back-to-back (fresh JVM each,
+48g heap, in-JVM best-of-3), with the level ORDER alternating between
+ascending and descending across pairs so drift cannot systematically
+land on one level; efficiency is the median of the within-pair ratios
+over {args.pairs} pairs.
 
 Job: full golden feature DAG (12 features: lag/lead, rolling row+time
 frames, cumulative, sessionization, session-scoped, text scalars) via
