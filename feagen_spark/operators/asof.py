@@ -476,24 +476,36 @@ def backfill_snapshots(
     on: Sequence[str] = ("conv_id",),
     feature_cols: Sequence[str] | None = None,
     strict: bool = True,
+    label_ts: str = "ts",
+    turns_ts: str = "ts",
 ) -> DataFrame:
     """C10: attach the as-of feature snapshot to each label point.
 
     ``turns_with_features`` is the transcript table with trailing-window
     features already appended (those ARE the as-of state at each turn);
     this projects the snapshot onto arbitrary (conv_id, ts) query points.
+    ``label_ts``/``turns_ts`` name the ordering columns when either side
+    does not call its event time ``ts``.
     """
+    for df_, col_, side in (
+        (label_points, label_ts, "label_points"),
+        (turns_with_features, turns_ts, "turns_with_features"),
+    ):
+        if col_ not in df_.columns:
+            raise ValueError(f"{side} has no timestamp column {col_!r}")
     if feature_cols is None:
         feature_cols = [
             c
             for c in turns_with_features.columns
-            if c not in {"conv_id", "turn_idx", "role", "text", "tool", "ts",
-                         "next_role"}  # leads never enter snapshots
+            if c not in {"conv_id", "turn_idx", "role", "text", "tool",
+                         turns_ts, "next_role"}  # leads never enter snapshots
         ]
     return asof_join(
         label_points,
         turns_with_features,
         on=on,
+        left_ts=label_ts,
+        right_ts=turns_ts,
         values=list(feature_cols),
         strict=strict,
         right_order=("turn_idx",) if "turn_idx" in turns_with_features.columns else (),

@@ -246,10 +246,15 @@ class CheckpointStore:
             except OSError:
                 if renamed_old and not os.path.exists(path):
                     os.rename(old, path)  # roll the prior version back
+                    # the rollback restored the PRIOR files — falling
+                    # through would _save_entry the NEW data's audit over
+                    # them (stale table, lying checksum — code-review r5)
+                    raise
                 if not os.path.exists(path):
                     raise
-                # else: a same-fingerprint winner (or the rollback) holds
-                # path — same logical table either way, keep it
+                # else: a concurrent same-fingerprint WINNER holds path —
+                # identical logical table, so the entry below is true of
+                # it; keep it
             if renamed_old:
                 shutil.rmtree(old, ignore_errors=True)
         finally:
@@ -396,10 +401,22 @@ class CheckpointStore:
                     # files and re-registers the external table, so no
                     # window destroys the prior version.
                     ext_loc = self._table_location(spark, name)
+                    if not os.path.isdir(ext_loc):
+                        # non-local location (hdfs:/s3a:): the driver
+                        # cannot move these files aside, and dropping the
+                        # pointer first would lose the only recoverable
+                        # handle (code-review r5) — fail BEFORE touching
+                        # anything
+                        raise RuntimeError(
+                            f"bucketed rewrite of external checkpoint "
+                            f"table {name} at non-local location "
+                            f"{ext_loc!r} is not supported from this "
+                            f"driver; invalidate and relocate it with "
+                            f"storage-native tooling first"
+                        )
                     spark.sql(f"DROP TABLE {name}")
-                    if os.path.isdir(ext_loc):
-                        ext_aside = f"{ext_loc}.old-{token}"
-                        os.rename(ext_loc, ext_aside)
+                    ext_aside = f"{ext_loc}.old-{token}"
+                    os.rename(ext_loc, ext_aside)
                 else:
                     spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
                     renamed_old = True
@@ -419,10 +436,22 @@ class CheckpointStore:
             except Exception:
                 if renamed_old and not spark.catalog.tableExists(name):
                     spark.sql(f"ALTER TABLE {old_tbl} RENAME TO {name}")
+                    # prior version restored — falling through would
+                    # _save_entry the NEW audit over the OLD table
+                    # (code-review r5); the swap failed, say so
+                    raise
                 if ext_aside is not None and not spark.catalog.tableExists(name):
-                    # restore the prior external version: files back in
-                    # place, then the same re-registration DDL the
-                    # restart path uses
+                    # restore the prior external version. Anything at
+                    # ext_loc now can only be OUR partially-materialized
+                    # staging rename (a concurrent winner would have
+                    # registered `name`, handled below) — clear the
+                    # debris so the rename-back cannot be skipped and
+                    # the aside copy never gets deleted while the
+                    # location holds partial files (code-review r5).
+                    import shutil as _sh
+
+                    if os.path.exists(ext_loc):
+                        _sh.rmtree(ext_loc, ignore_errors=True)
                     if os.path.isdir(ext_aside) and not os.path.exists(ext_loc):
                         os.rename(ext_aside, ext_loc)
                         ext_aside = None
@@ -433,9 +462,12 @@ class CheckpointStore:
                              "bucket_by": [n, cols]},
                         )
                     except Exception:
-                        pass  # data is intact at ext_loc; re-raise below
+                        pass  # data is intact at ext_loc; raising anyway
+                    raise
                 if not spark.catalog.tableExists(name):
                     raise
+                # else: a concurrent same-fingerprint WINNER holds name —
+                # identical logical table; the entry below is true of it
             if renamed_old:
                 spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
             if ext_aside is not None:

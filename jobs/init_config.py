@@ -29,6 +29,9 @@ bundle_structure: {"label": "is_tool_turn", "features": ["text_len", "turns_so_f
 output_path: /path/to/feature_snapshots
 output_format: parquet
 output_mode: overwrite
+# optional backfill stage (C10): as-of feature snapshots at each label
+# point; labels table needs the `on` keys + a timestamp column (ts_col)
+# backfill: {"labels_path": "/path/to/labels", "output_path": "/path/to/snapshots", "on": ["conv_id"], "ts_col": "ts", "strict": True}
 """
 
 

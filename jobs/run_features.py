@@ -136,6 +136,7 @@ def main() -> None:
             on=tuple(bf.get("on", ["conv_id"])),
             feature_cols=bf.get("feature_cols"),
             strict=bool(bf.get("strict", True)),
+            label_ts=ts_col,
         )
         snaps.write.mode(bf.get("mode", "overwrite")).parquet(bf["output_path"])
         backfill_rows = spark.read.parquet(bf["output_path"]).count()

@@ -100,7 +100,10 @@ Regenerate: `python tools/bench_skew_asof.py`.
     text = md_path.read_text()
     if SECTION in text:
         text = re.sub(
-            re.escape(SECTION) + r".*?(?=\n## |\Z)", section, text, flags=re.S
+            re.escape(SECTION) + r".*?(?=\n## |\Z)",
+            lambda _m: section,  # raw-template backslash hazard
+            text,
+            flags=re.S,
         )
     else:
         text = text.rstrip() + "\n\n" + section

@@ -25,8 +25,13 @@ SEC_INTERVAL = "## Interval containment join (chunk-span cost model)"
 def _replace_section(md_path: Path, header: str, section: str) -> None:
     text = md_path.read_text()
     if header in text:
+        # lambda replacement: a raw-template section containing a
+        # backslash would be (mis)parsed as a regex escape
         text = re.sub(
-            re.escape(header) + r".*?(?=\n## |\Z)", section, text, flags=re.S
+            re.escape(header) + r".*?(?=\n## |\Z)",
+            lambda _m: section,
+            text,
+            flags=re.S,
         )
     else:
         text = text.rstrip() + "\n\n" + section
