@@ -106,9 +106,14 @@ def q_ev_lag_lead(spark, sf_dir):
 
 
 def q_ev_rolling(spark, sf_dir):
-    """Rolling row-frame counts (C5, last-10 rows) + rolling time-range
-    count (C5, last 600 s) — one query, same key partitioning (the time
-    frame re-sorts within the partition; no second exchange)."""
+    """The rolling/trailing feature family in one entry: row-frame
+    counts (C5, last-10 rows), time-range count (C5, last 600 s),
+    trailing DISTINCT count (novelty/diversity signal,
+    add_rolling_distinct) and the exponentially time-decayed sum
+    (recency-weighted engagement, add_rolling_decayed_sum, half-life
+    600 s over the last-10 frame). All four share the user_id
+    partitioning — one exchange (the time frame re-sorts within the
+    partition)."""
     ev = _events(spark, sf_dir)
     ev = W.add_rolling(
         ev, "user_id", EV_ORDER, F.count(F.lit(1)), "n_last_10", last_n=10
@@ -118,6 +123,13 @@ def q_ev_rolling(spark, sf_dir):
     )
     ev = W.add_rolling_time(
         ev, "user_id", "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
+    )
+    ev = W.add_rolling_distinct(
+        ev, "user_id", EV_ORDER, "event_type", "n_types_last_10", last_n=10
+    )
+    ev = W.add_rolling_decayed_sum(
+        ev, "user_id", EV_ORDER, "ts", "value", "value_decay",
+        half_life_s=600, last_n=10,
     )
     return ev.select(
         "event_id",
@@ -129,6 +141,8 @@ def q_ev_rolling(spark, sf_dir):
         F.coalesce(F.col("n_events_600s"), F.lit(0)).cast("long").alias(
             "n_events_600s"
         ),
+        F.col("n_types_last_10").cast("long").alias("n_types_last_10"),
+        (F.round("value_decay", 6) + 0.0).alias("value_decay"),
     )
 
 
@@ -1421,6 +1435,11 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
 
+    # decay constant shared bit-for-bit with add_rolling_decayed_sum
+    # (same python double, half-life 600 s, per-microsecond)
+    import math as _math
+
+    _lam = repr(_math.log(2.0) / (600.0 * 1e6))
     sql["ev_rolling"] = f"""
         SELECT event_id, user_id,
                count(*) OVER ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
@@ -1430,7 +1449,16 @@ def oracle_sql() -> dict[str, str]:
                    AS value_sum_last_10,
                coalesce(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING), 0)
-                   AS n_events_600s
+                   AS n_events_600s,
+               count(DISTINCT event_type) OVER
+                   ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS n_types_last_10,
+               round(coalesce(list_sum(list_transform(
+                   list(struct_pack(us := epoch_us(ts),
+                                    v := coalesce(value, 0.0))) OVER
+                       ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                   p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
+               )), 0.0), 6) + 0.0 AS value_decay
         FROM events
     """
 

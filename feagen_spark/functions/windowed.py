@@ -97,6 +97,74 @@ def add_rolling_time(
     return df.withColumn(out, agg.over(w))
 
 
+def add_rolling_distinct(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    col: str,
+    out: str,
+    last_n: int,
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing distinct-count feature (novelty/diversity signals: how
+    many distinct event types / tools / pages in the recent window):
+    number of distinct ``col`` values among the previous ``last_n``
+    rows. Same single key-partitioned window as every other trailing
+    frame; the set state is bounded by the frame length. Empty frame →
+    0 (never NULL/-1: ``size`` of a missing frame is normalized)."""
+    hi = 0 if include_current else -1
+    lo = -(last_n - 1) if include_current else -last_n
+    w = _w(key, order).rowsBetween(lo, hi)
+    return df.withColumn(
+        out,
+        F.coalesce(F.size(F.collect_set(col).over(w)), F.lit(0)).cast("int"),
+    )
+
+
+def add_rolling_decayed_sum(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out: str,
+    half_life_s: float,
+    last_n: int = 100,
+) -> DataFrame:
+    """Exponentially time-decayed trailing sum (recency-weighted
+    engagement features): Σ vᵢ · 2^(−ageᵢ/half_life) over the previous
+    ``last_n`` rows, where ageᵢ = current ts − tsᵢ.
+
+    Exact over the bounded trailing frame via ONE collect_list window +
+    a JVM higher-order ``aggregate`` — every exponent is ≤ 0, so the
+    math never overflows at any time span. (The classic unbounded
+    factorization S = 2^(−t/h)·Σ vᵢ2^(tᵢ/h) overflows past ~1000
+    half-lives of span, which a year-long table at a 10-minute
+    half-life exceeds 50×; the bounded frame is also what keeps the
+    per-row state O(last_n) at 10¹²-row scale.) Frame ends at −1 —
+    leakage-safe per the repo contract. Empty frame → 0.0; NULL values
+    contribute 0 (SQL ``sum`` skips them — a NULL in a fold would
+    instead poison the whole accumulator)."""
+    import math
+
+    w = _w(key, order).rowsBetween(-last_n, -1)
+    us = F.unix_micros(F.col(ts_col))
+    pairs = F.collect_list(
+        F.struct(
+            us.alias("us"),
+            F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("v"),
+        )
+    ).over(w)
+    lam = math.log(2.0) / (float(half_life_s) * 1e6)  # per-microsecond
+    decayed = F.aggregate(
+        pairs,
+        F.lit(0.0),
+        lambda acc, p: acc
+        + p["v"] * F.exp((-lam) * (us - p["us"]).cast("double")),
+    )
+    return df.withColumn(out, decayed)
+
+
 def add_cumulative(
     df: DataFrame,
     key: str | Sequence[str],

@@ -756,3 +756,52 @@ def test_vacuum_catalog_sweep_scoped_to_own_store(spark, tmp_path):
     assert spark.catalog.tableExists(b_stg)  # B untouched
     removed_b = store_b.vacuum(spark, grace_s=0)
     assert f"table:{b_stg}" in removed_b
+
+
+def test_path_swap_failure_restores_prior_and_raises(spark, tmp_path, monkeypatch):
+    """Code-review r5: when the staging→final rename fails and the prior
+    version is rolled back, write() must RAISE — falling through would
+    record the NEW data's audit over the OLD restored files. The prior
+    table and its manifest entry must survive untouched."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ck_swapfail")
+    store = CheckpointStore(root)
+    df1 = spark.range(10).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    entry1 = store.write(df1, "fp_swap" * 4, "node_s")
+
+    real_rename = _os.rename
+    calls = []
+
+    def failing_rename(src, dst):
+        if ".staging-" in str(src):
+            calls.append(src)
+            raise OSError("injected: staging rename failed")
+        return real_rename(src, dst)
+
+    import feagen_spark.store.checkpoint as CK
+
+    monkeypatch.setattr(CK.os, "rename", failing_rename)
+    df2 = spark.range(30).select(
+        F.col("id").alias("conv_id"), F.lit(2.0).alias("v")
+    )
+    store2 = CheckpointStore(root)
+    import pytest as _pt
+
+    with _pt.raises(OSError, match="injected"):
+        store2.write(df2, "fp_swap" * 4, "node_s")
+    assert calls, "injection never hit the staging rename"
+    monkeypatch.setattr(CK.os, "rename", real_rename)
+
+    # prior version and its (old-audit) manifest entry are intact
+    assert store2.exists("fp_swap" * 4)
+    got = store2.read(spark, "fp_swap" * 4)
+    assert got.count() == 10
+    assert got.agg(F.sum("v")).first()[0] == 10.0
+    entry_after = store2.entry("fp_swap" * 4)
+    assert entry_after["row_count"] == entry1["row_count"] == 10
+    assert entry_after["checksum"] == entry1["checksum"]

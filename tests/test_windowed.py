@@ -155,3 +155,55 @@ if _HYP:
                 )
                 want[i] = (roll, pos, sess, troll)
         assert got == want
+
+
+def test_rolling_distinct_and_decayed_sum_match_reference(spark):
+    """add_rolling_distinct / add_rolling_decayed_sum (r5) vs loop
+    references: distinct counts over the trailing frame (empty frame →
+    0, never NULL), decayed sum exact to double precision with NULLs
+    contributing 0."""
+    import math
+
+    rows = [
+        # (rid, key, sec, value, etype)
+        (0, "a", 0, 1.0, "x"),
+        (1, "a", 100, 2.0, "y"),
+        (2, "a", 200, None, "x"),
+        (3, "a", 900, 4.0, "z"),
+        (4, "a", 5000, 5.0, "x"),
+        (5, "b", 0, 7.0, "x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, s, v, e) for i, k, s, v, e in rows],
+        "rid long, k string, sec long, v double, etype string",
+    ).select(
+        "rid", "k", "v", "etype",
+        F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+    )
+    out = W.add_rolling_distinct(
+        df, "k", ("ts", "rid"), "etype", "n_types", last_n=3
+    )
+    out = W.add_rolling_decayed_sum(
+        out, "k", ("ts", "rid"), "ts", "v", "decay",
+        half_life_s=600, last_n=3,
+    )
+    got = {r["rid"]: (r["n_types"], r["decay"]) for r in out.collect()}
+
+    lam = math.log(2.0) / (600 * 1e6)
+    by_key: dict = {}
+    for rid, k, s, v, e in rows:
+        by_key.setdefault(k, []).append((s, rid, v, e))
+    for k, seq in by_key.items():
+        seq.sort()
+        for pos, (s, rid, v, e) in enumerate(seq):
+            prior = seq[max(0, pos - 3):pos]
+            n_types = len({x[3] for x in prior})
+            decay = sum(
+                (x[2] or 0.0) * math.exp(-lam * (s - x[0]) * 1e6)
+                for x in prior
+            )
+            gn, gd = got[rid]
+            assert gn == n_types, (rid, gn, n_types)
+            assert abs(gd - decay) < 1e-9, (rid, gd, decay)
+    # empty frame: first row of each key
+    assert got[0] == (0, 0.0) and got[5] == (0, 0.0)
