@@ -517,3 +517,27 @@ def test_json_props_extraction_stays_jvm(spark):
     plan = _plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_rolling_family_single_exchange(spark, tmp_path_factory):
+    """The full ev_rolling feature family (row frame, time frame,
+    trailing distinct, decayed sum) must share ONE hash exchange on the
+    key — the collect_set/collect_list windows ride the same
+    partitioning as the plain aggregates."""
+    from feagen_spark.functions import windowed as W
+
+    p = str(tmp_path_factory.mktemp("roll") / "ev")
+    spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("rid"),
+        F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("v"),
+        (F.col("id") % 3).cast("string").alias("etype"),
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    order = ("ts", "rid")
+    df = W.add_rolling(df, "k", order, F.sum("v"), "roll", last_n=10)
+    df = W.add_rolling_time(df, "k", "ts", F.count(F.lit(1)), "troll", last_seconds=600)
+    df = W.add_rolling_distinct(df, "k", order, "etype", "ntypes", last_n=10)
+    df = W.add_rolling_decayed_sum(df, "k", order, "ts", "v", "decay", half_life_s=600, last_n=10)
+    assert len(_exchanges(_plan(df))) == 1, _plan(df)
