@@ -44,6 +44,8 @@ EV_FEATURES = [
     "prev_event_type", "ts_delta_prev_s", "n_so_far", "cum_value",
     "value_sum_last_10", "n_events_600s", "session_id",
     "last_click_value", "value_lag_3",
+    # r5 trailing additions — must be prefix-invariant like the rest
+    "n_types_last_10", "value_decay_600s",
 ]
 
 
