@@ -17,6 +17,7 @@ that stay in whole-stage codegen:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # \s spelled out as RE2's class [ \t\n\f\r] (Java \s adds \v; the
@@ -167,3 +168,64 @@ def stratified_sample(
     for name, t in thresholds:
         thr = F.when(F.col(strata_col) == name, F.lit(t)).otherwise(thr)
     return df.where(h < thr)
+
+
+def deterministic_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    anchor_id: str,
+    corpus_id: str,
+    k: int = 4,
+    n_buckets: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """``k`` pseudo-random NEGATIVE examples per anchor (contrastive /
+    retrieval training pairs), deterministic across runs, layouts and
+    cluster sizes — the sampling twin of ``hash_split``: reruns and
+    retries emit bit-identical pairs, and adding corpus rows never
+    reshuffles existing assignments outside the touched buckets.
+
+    Scalable shape (never all-pairs, never a global index): corpus rows
+    hash into ``n_buckets`` buckets; draw j of anchor a probes bucket
+    hash(a, j) via an EQUI-join and keeps the bucket's first candidate
+    in hash order (ties impossible: the order ends on the unique id).
+    Cost is |anchors|·k joined against |corpus|/n_buckets-sized buckets
+    — one shuffle each side plus one window. Self-pairs are excluded
+    before ranking (an anchor landing in its own probed bucket yields
+    the NEXT candidate, not a dropped draw); draws only come back empty
+    when the probed bucket holds no other row, so size ``n_buckets``
+    well below |corpus|. Output: (anchor_id, draw, neg_id).
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+    cand = corpus.select(
+        F.col(corpus_id).alias("neg_id"),
+        F.pmod(F.xxhash64(F.lit(seed), F.col(corpus_id)), F.lit(n_buckets)).alias(
+            "__bkt"
+        ),
+    )
+    probes = anchors.select(F.col(anchor_id).alias("__anchor")).select(
+        "__anchor",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("draw"),
+    ).withColumn(
+        "__bkt",
+        F.pmod(
+            F.xxhash64(F.lit(seed + 1), F.col("__anchor"), F.col("draw")),
+            F.lit(n_buckets),
+        ),
+    )
+    joined = probes.join(cand, on="__bkt").where(
+        F.col("neg_id") != F.col("__anchor")
+    )
+    w = Window.partitionBy("__anchor", "draw").orderBy(
+        F.xxhash64(F.lit(seed + 2), "__anchor", "draw", "neg_id"), "neg_id"
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__anchor").alias(anchor_id),
+            F.col("draw").cast("int").alias("draw"),
+            "neg_id",
+        )
+    )

@@ -107,3 +107,50 @@ def test_stratified_sample_deterministic_and_exact(spark):
 
     with _pytest.raises(ValueError, match="fractions"):
         stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_deterministic_negatives_properties(spark):
+    """deterministic_negatives: k draws per anchor (minus empty-bucket
+    draws), no self-pairs, bit-identical across runs AND layouts, and
+    negatives spread over the corpus (not collapsing onto a few ids)."""
+    from feagen_spark.operators.cleaning import deterministic_negatives
+
+    corpus = spark.range(500).select(F.col("id").alias("doc_id"))
+    anchors = spark.range(60).select(F.col("id").alias("doc_id"))
+
+    out = deterministic_negatives(
+        anchors, corpus, "doc_id", "doc_id", k=4, n_buckets=64
+    )
+    rows = {(r["doc_id"], r["draw"], r["neg_id"]) for r in out.collect()}
+    assert len(rows) == 60 * 4  # 64 buckets over 500 docs: none empty
+    assert all(a != n for a, _, n in rows)  # no self-pairs
+    per_anchor = {}
+    for a, d, n in rows:
+        per_anchor.setdefault(a, set()).add(d)
+    assert all(ds == {0, 1, 2, 3} for ds in per_anchor.values())
+    # diversity: far more distinct negatives than anchors' bucket count
+    assert len({n for _, _, n in rows}) > 50
+
+    # determinism under different layouts and a fresh run
+    out2 = deterministic_negatives(
+        anchors.repartition(7), corpus.repartition(13, "doc_id"),
+        "doc_id", "doc_id", k=4, n_buckets=64,
+    )
+    rows2 = {(r["doc_id"], r["draw"], r["neg_id"]) for r in out2.collect()}
+    assert rows2 == rows
+
+    # adding corpus rows only changes draws whose PROBED bucket gained a
+    # better-ranked candidate — assignments never reshuffle wholesale
+    bigger = spark.range(600).select(F.col("id").alias("doc_id"))
+    rows3 = {
+        (r["doc_id"], r["draw"], r["neg_id"])
+        for r in deterministic_negatives(
+            anchors, bigger, "doc_id", "doc_id", k=4, n_buckets=64
+        ).collect()
+    }
+    stable = len(rows & rows3) / len(rows)
+    assert stable > 0.7, stable
+
+    # plan shape: equi-join, never a cartesian/BNLJ
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
