@@ -568,6 +568,24 @@ class CheckpointStore:
                 ):
                     spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                     removed.append(f"table:{t.name}")
+            # a crashed EXTERNAL rewrite strands its files-aside dir
+            # (<location>.old-<token>) in the WAREHOUSE, outside
+            # self.root — sweep those too, same prefix scoping + grace
+            from urllib.parse import urlparse
+
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            wh_path = urlparse(wh).path if wh.startswith("file:") else wh
+            if os.path.isdir(wh_path):
+                for fn in os.listdir(wh_path):
+                    p = os.path.join(wh_path, fn)
+                    if (
+                        fn.startswith(prefix)
+                        and ".old-" in fn
+                        and os.path.isdir(p)
+                        and now - os.path.getmtime(p) >= grace_s
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed.append(f"warehouse:{fn}")
         return removed
 
     @staticmethod

@@ -805,3 +805,34 @@ def test_path_swap_failure_restores_prior_and_raises(spark, tmp_path, monkeypatc
     entry_after = store2.entry("fp_swap" * 4)
     assert entry_after["row_count"] == entry1["row_count"] == 10
     assert entry_after["checksum"] == entry1["checksum"]
+
+
+def test_vacuum_sweeps_stranded_external_aside_dirs(spark, tmp_path):
+    """A crashed external rewrite strands <location>.old-<token> in the
+    WAREHOUSE (outside the store root); vacuum must clear aged ones —
+    scoped to this store's prefix — and respect the grace period."""
+    import os as _os
+    import time as _time
+    from urllib.parse import urlparse
+
+    store = CheckpointStore(str(tmp_path / "ck_whsweep"), bucket_by=(2, "k"))
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path if wh.startswith("file:") else wh
+    prefix = f"ckpt_{store._root_tag()}_"
+    aged = _os.path.join(wh_path, prefix + "node_x.old-dead")
+    fresh = _os.path.join(wh_path, prefix + "node_y.old-live")
+    other = _os.path.join(wh_path, "ckpt_deadbeef_node_z.old-dead")
+    for d in (aged, fresh, other):
+        _os.makedirs(d, exist_ok=True)
+    t = _time.time() - 48 * 3600
+    _os.utime(aged, (t, t))
+    _os.utime(other, (t, t))
+
+    removed = store.vacuum(spark, grace_s=3600)
+    assert f"warehouse:{prefix}node_x.old-dead" in removed
+    assert not _os.path.isdir(aged)
+    assert _os.path.isdir(fresh)   # inside grace: kept
+    assert _os.path.isdir(other)   # other store's prefix: never touched
+    import shutil as _sh
+    for d in (fresh, other):
+        _sh.rmtree(d, ignore_errors=True)
