@@ -143,8 +143,12 @@ def add_rolling_decayed_sum(
     half-life exceeds 50×; the bounded frame is also what keeps the
     per-row state O(last_n) at 10¹²-row scale.) Frame ends at −1 —
     leakage-safe per the repo contract. Empty frame → 0.0; NULL values
-    contribute 0 (SQL ``sum`` skips them — a NULL in a fold would
-    instead poison the whole accumulator)."""
+    and NULL-``ts`` frame rows contribute 0 (SQL ``sum`` skips them —
+    either NULL in a raw fold would instead poison the accumulator); a
+    NULL ``ts`` on the CURRENT row yields NULL (no reference instant).
+    Ages clamp at 0, so a frame row ordered after the current row by a
+    non-``ts``-led ``order`` weighs at most 1 instead of overflowing
+    the exponent (code-review r5)."""
     import math
 
     w = _w(key, order).rowsBetween(-last_n, -1)
@@ -156,13 +160,18 @@ def add_rolling_decayed_sum(
         )
     ).over(w)
     lam = math.log(2.0) / (float(half_life_s) * 1e6)  # per-microsecond
+    age = lambda p: F.greatest(  # noqa: E731 — local weight helper
+        (us - p["us"]).cast("double"), F.lit(0.0)
+    )
     decayed = F.aggregate(
         pairs,
         F.lit(0.0),
         lambda acc, p: acc
-        + p["v"] * F.exp((-lam) * (us - p["us"]).cast("double")),
+        + F.when(
+            p["us"].isNotNull(), p["v"] * F.exp((-lam) * age(p))
+        ).otherwise(F.lit(0.0)),
     )
-    return df.withColumn(out, decayed)
+    return df.withColumn(out, F.when(us.isNotNull(), decayed))
 
 
 def add_cumulative(

@@ -194,7 +194,11 @@ def deterministic_negatives(
     before ranking (an anchor landing in its own probed bucket yields
     the NEXT candidate, not a dropped draw); draws only come back empty
     when the probed bucket holds no other row, so size ``n_buckets``
-    well below |corpus|. Output: (anchor_id, draw, neg_id).
+    well below |corpus|. Two draws of one anchor that collide on a
+    bucket can pick the same candidate — such duplicates are COLLAPSED
+    (lowest draw wins), so an anchor gets UP TO ``k`` distinct
+    negatives, never a silently duplicated training pair (code-review
+    r5). Output: (anchor_id, draw, neg_id), distinct per anchor.
     """
     if k < 1 or n_buckets < 1:
         raise ValueError("k and n_buckets must be >= 1")
@@ -220,9 +224,14 @@ def deterministic_negatives(
     w = Window.partitionBy("__anchor", "draw").orderBy(
         F.xxhash64(F.lit(seed + 2), "__anchor", "draw", "neg_id"), "neg_id"
     )
-    return (
+    picked = (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
+    )
+    w_dup = Window.partitionBy("__anchor", "neg_id").orderBy("draw")
+    return (
+        picked.withColumn("__dn", F.row_number().over(w_dup))
+        .where(F.col("__dn") == 1)
         .select(
             F.col("__anchor").alias(anchor_id),
             F.col("draw").cast("int").alias("draw"),

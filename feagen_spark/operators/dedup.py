@@ -406,13 +406,14 @@ def connected_components(
     lineage so the plan does not double each round (a real cluster
     deployment would use a reliable checkpoint dir instead).
 
-    ``target_partitions``: per-round cost on a SKETCH-SIZED pair graph
-    is dominated by task-scheduling overhead at the session's shuffle
-    parallelism (localCheckpoint freezes each round's layout, so AQE
-    cannot keep re-coalescing it) — a caller that knows its graph is
-    small passes a small number here (measured 1.6× on the sf0.1 dedup
-    query at 4 vs 32). Leave None when the pair graph may be large —
-    the iteration then inherits the session parallelism."""
+    ``target_partitions``: bounds the task count of the ONE-TIME edge
+    symmetrize+distinct materialization (input partitions double through
+    the union before the distinct scans them) — on a sketch-sized pair
+    graph that fixed cost dominates, and capping it measured ~1.35× on
+    the sf0.1 dedup query. It is NOT a per-round lever: AQE already
+    coalesces the tiny per-round shuffles, with or without the knob
+    (measured — code-review r5 corrected an earlier claim here). Leave
+    None when the pair graph may be large."""
     if method == "star":
         return _cc_star(pairs, id_a, id_b, max_iter)
     if method != "min_label":

@@ -234,6 +234,7 @@ class CheckpointStore:
             if os.path.exists(path):
                 try:
                     os.rename(path, old)
+                    os.utime(old, None)  # grace clock starts at set-aside
                     renamed_old = True
                 except FileNotFoundError:
                     # a concurrent same-fingerprint writer renamed the
@@ -417,6 +418,11 @@ class CheckpointStore:
                     spark.sql(f"DROP TABLE {name}")
                     ext_aside = f"{ext_loc}.old-{token}"
                     os.rename(ext_loc, ext_aside)
+                    # rename keeps the ORIGINAL mtime — without a touch,
+                    # an aside of files written before the grace horizon
+                    # is instantly vacuum-eligible mid-swap, and it is
+                    # the only copy of the prior version (code-review r5)
+                    os.utime(ext_aside, None)
                 else:
                     spark.sql(f"ALTER TABLE {name} RENAME TO {old_tbl}")
                     renamed_old = True
@@ -506,16 +512,22 @@ class CheckpointStore:
         return entry
 
     @staticmethod
-    def _remove_orphan_location(spark: SparkSession, table_name: str) -> None:
+    def _warehouse_path(spark: SparkSession) -> str:
+        """Local filesystem path of the session warehouse dir (file:
+        scheme stripped) — ONE resolution shared by every sweep."""
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        return urlparse(wh).path if wh.startswith("file:") else wh
+
+    @classmethod
+    def _remove_orphan_location(cls, spark: SparkSession, table_name: str) -> None:
         """Delete a managed-table location that exists on disk with no
         catalog entry behind it (manifest wiped / entry invalidated in a
         prior session)."""
         import shutil
-        from urllib.parse import urlparse
 
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        wh_path = urlparse(wh).path if wh.startswith("file:") else wh
-        loc = os.path.join(wh_path, table_name.lower())
+        loc = os.path.join(cls._warehouse_path(spark), table_name.lower())
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
 
@@ -571,10 +583,10 @@ class CheckpointStore:
             # a crashed EXTERNAL rewrite strands its files-aside dir
             # (<location>.old-<token>) in the WAREHOUSE, outside
             # self.root — sweep those too, same prefix scoping + grace
-            from urllib.parse import urlparse
-
-            wh = spark.conf.get("spark.sql.warehouse.dir")
-            wh_path = urlparse(wh).path if wh.startswith("file:") else wh
+            # (the writer touches the aside at set-aside time, so the
+            # grace window is measured from the swap, not the original
+            # write)
+            wh_path = self._warehouse_path(spark)
             if os.path.isdir(wh_path):
                 for fn in os.listdir(wh_path):
                     p = os.path.join(wh_path, fn)

@@ -122,12 +122,16 @@ def test_deterministic_negatives_properties(spark):
         anchors, corpus, "doc_id", "doc_id", k=4, n_buckets=64
     )
     rows = {(r["doc_id"], r["draw"], r["neg_id"]) for r in out.collect()}
-    assert len(rows) == 60 * 4  # 64 buckets over 500 docs: none empty
+    # duplicate (anchor, neg) picks across colliding draws collapse, so
+    # an anchor yields UP TO k distinct negatives — most keep all 4
+    assert 60 * 3 <= len(rows) <= 60 * 4
     assert all(a != n for a, _, n in rows)  # no self-pairs
     per_anchor = {}
     for a, d, n in rows:
-        per_anchor.setdefault(a, set()).add(d)
-    assert all(ds == {0, 1, 2, 3} for ds in per_anchor.values())
+        per_anchor.setdefault(a, []).append(n)
+    # DISTINCT negatives per anchor (the code-review r5 guarantee)
+    assert all(len(ns) == len(set(ns)) for ns in per_anchor.values())
+    assert sum(len(ns) == 4 for ns in per_anchor.values()) >= 45
     # diversity: far more distinct negatives than anchors' bucket count
     assert len({n for _, _, n in rows}) > 50
 

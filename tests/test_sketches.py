@@ -11,11 +11,12 @@ from feagen_spark.operators import sketches as SK
 
 @pytest.fixture(scope="module")
 def events_like(spark):
-    # 40_000 rows, 9 sources, per-source distinct users 300..700,
-    # global distinct = 3000 (overlapping across sources)
+    # 40_000 rows, 9 sources, global distinct users = 3000 (pmod keeps
+    # the remainder non-negative — a plain % would double the range),
+    # heavily overlapping across sources
     return spark.range(40_000).select(
         (F.col("id") % 9).alias("source"),
-        (F.xxhash64("id") % 3000).alias("user"),
+        F.pmod(F.xxhash64("id"), F.lit(3000)).alias("user"),
         (F.col("id") % 97).cast("double").alias("value"),
     ).cache()
 
