@@ -1252,26 +1252,30 @@ def q_mm_audio_features(spark, sf_dir):
     )
 
 
-TR_FIXTURE_PATH = "/tmp/feagen_tr_golden_fixture.parquet"
+# CHECKED-IN fixture (fixtures/, 340 KB): both engines read the same
+# committed bytes, so the oracle never depends on the Spark query
+# having run first in the same process/sandbox.
+# tests/test_features.py::test_checked_in_tr_fixture_matches_datagen
+# pins the file to the deterministic generator — regenerate with
+#   datagen.transcripts.transcripts(spark, 300, 3, 2000)
+#     .coalesce(1).write.parquet(TR_FIXTURE_PATH)
+TR_FIXTURE_PATH = str(
+    Path(__file__).resolve().parent / "fixtures" / "tr_golden_fixture.parquet"
+)
 
 
 def q_tr_golden_features(spark, sf_dir):
     """Flagship transcript feature DAG over the synthetic transcript
     table (BASELINE.json input_hint shape) — FULL ORACLE since r5
-    (VERDICT r4 #2): the deterministic fixture is written to parquet
-    here and oracle_sql() recomputes every golden feature over the SAME
-    bytes in DuckDB window SQL, so the north-star artifact itself
+    (VERDICT r4 #2): both engines read the CHECKED-IN deterministic
+    fixture and oracle_sql() recomputes every golden feature over the
+    same bytes in DuckDB window SQL, so the north-star artifact itself
     carries a value hash. ``role_lag_3`` comes from the regex TEMPLATE
     (A2 expansion) — not a registered node."""
     from feagen_spark.core.dag import FeatureDAG
     from feagen_spark.core.engine import Engine
-    from feagen_spark.datagen.transcripts import transcripts
     from feagen_spark.features.turns import transcript_nodes, transcript_templates
 
-    transcripts(
-        spark, n_conv=300, giant_convs=3, giant_turns=2000
-    ).write.mode("overwrite").parquet(TR_FIXTURE_PATH)
-    # both engines read the identical bytes back (ts precision, layout)
     df = spark.read.parquet(TR_FIXTURE_PATH).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )

@@ -221,3 +221,23 @@ def test_zero_temporal_leakage(spark, tiny_transcripts, feat_pdf):
                 g.fillna("__null__").astype(str)
                 == e.fillna("__null__").astype(str)
             ).all(), f"leakage in {col}"
+
+
+def test_checked_in_tr_fixture_matches_datagen(spark):
+    """The committed fixtures/tr_golden_fixture.parquet must equal the
+    deterministic generator's output row-for-row — the tr_golden oracle
+    reads the committed bytes, so drift here would silently decouple
+    the north-star hash from the engine's own datagen."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import TR_FIXTURE_PATH
+    from feagen_spark.datagen.transcripts import transcripts
+
+    fixture = spark.read.parquet(TR_FIXTURE_PATH)
+    gen = transcripts(spark, n_conv=300, giant_convs=3, giant_turns=2000)
+    assert fixture.count() == gen.count() == 10473
+    # exact row-set equality both directions
+    assert fixture.exceptAll(gen).count() == 0
+    assert gen.withColumn("ts", F.col("ts").cast("timestamp_ntz")).exceptAll(
+        fixture
+    ).count() == 0 or gen.exceptAll(fixture).count() == 0
