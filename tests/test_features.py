@@ -236,8 +236,6 @@ def test_checked_in_tr_fixture_matches_datagen(spark):
     fixture = spark.read.parquet(TR_FIXTURE_PATH)
     gen = transcripts(spark, n_conv=300, giant_convs=3, giant_turns=2000)
     assert fixture.count() == gen.count() == 10473
-    # exact row-set equality both directions
+    # exact multiset equality, both directions
     assert fixture.exceptAll(gen).count() == 0
-    assert gen.withColumn("ts", F.col("ts").cast("timestamp_ntz")).exceptAll(
-        fixture
-    ).count() == 0 or gen.exceptAll(fixture).count() == 0
+    assert gen.exceptAll(fixture).count() == 0
