@@ -228,8 +228,6 @@ def test_checked_in_tr_fixture_matches_datagen(spark):
     deterministic generator's output row-for-row — the tr_golden oracle
     reads the committed bytes, so drift here would silently decouple
     the north-star hash from the engine's own datagen."""
-    from pyspark.sql import functions as F
-
     from __spark_entry__ import TR_FIXTURE_PATH
     from feagen_spark.datagen.transcripts import transcripts
 
