@@ -824,11 +824,13 @@ def q_doc_sparse_features(spark, sf_dir):
 
 def q_ev_feature_dag(spark, sf_dir):
     """FLAGSHIP COMPOSITION with a full value oracle: the DAG engine
-    (A1-A6 — resolution, template expansion, toposort, execution) runs a
-    9-feature suite over the driver's `events` table; every feature is
-    SQL-expressible so the whole engine path gets a DuckDB hash check
-    (VERDICT r1 #2). Two features come from regex TEMPLATES
-    (last_click_value, event_type_lag_2) to exercise A2 expansion."""
+    (A1-A6 — resolution, template expansion, toposort, execution) runs
+    an 11-feature suite over the driver's `events` table; every feature
+    is SQL-expressible so the whole engine path gets a DuckDB hash
+    check (VERDICT r1 #2). Two features come from regex TEMPLATES
+    (last_click_value, event_type_lag_2) to exercise A2 expansion; the
+    r5 trailing-distinct and decayed-sum nodes ride along so the
+    engine-path hash covers them too."""
     from feagen_spark.core.dag import FeatureDAG
     from feagen_spark.core.engine import Engine
     from feagen_spark.features.events import event_nodes, event_templates
@@ -846,6 +848,7 @@ def q_ev_feature_dag(spark, sf_dir):
             "prev_event_type", "ts_delta_prev_s", "n_so_far", "cum_value",
             "value_sum_last_10", "n_events_600s", "session_id",
             "last_click_value", "event_type_lag_2",
+            "n_types_last_10", "value_decay_600s",
         ],
     )
     return out.select(
@@ -860,6 +863,8 @@ def q_ev_feature_dag(spark, sf_dir):
         F.col("session_id").cast("int").alias("session_id"),
         F.round("last_click_value", 6).alias("last_click_value"),
         F.col("event_type_lag_2").alias("event_type_lag_2"),
+        F.col("n_types_last_10").cast("long").alias("n_types_last_10"),
+        (F.round("value_decay_600s", 6) + 0.0).alias("value_decay_600s"),
     )
 
 
@@ -2311,7 +2316,16 @@ def oracle_sql() -> dict[str, str]:
                    IGNORE NULLS) OVER ({ev_w}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
                    AS last_click_value,
-               lag(event_type, 2) OVER ({ev_w}) AS event_type_lag_2
+               lag(event_type, 2) OVER ({ev_w}) AS event_type_lag_2,
+               count(DISTINCT event_type) OVER
+                   ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS n_types_last_10,
+               round(coalesce(list_sum(list_transform(
+                   list(struct_pack(us := epoch_us(ts),
+                                    v := coalesce(value, 0.0))) OVER
+                       ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                   p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
+               )), 0.0), 6) + 0.0 AS value_decay_600s
         FROM sessions
     """
 
