@@ -302,6 +302,68 @@ def streaming_asof_state(
     )
 
 
+def streaming_decayed_sum(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_s: float = 600.0,
+    out: str = "value_decay",
+) -> DataFrame:
+    """O(1)-state exponential time decay per key — the streaming twin
+    of ``windowed.add_rolling_decayed_sum`` WITHOUT the frame cap
+    (unbounded history): every arriving row is emitted with
+    S = Σ_{prior} vᵢ·2^(−(t−tᵢ)/half_life), maintained by the closed-
+    form recurrence S ← S·2^(−Δt/half_life) + v_prev — two doubles of
+    state per key regardless of history length, the classic real-time
+    engagement-score operator.
+
+    Leakage contract: the emitted value reflects STRICTLY-PRIOR rows
+    only (the arriving row's own value is folded in after emission).
+    Rows of a micro-batch are processed in (ts, value) order; late
+    arrivals across batches see processing-time state (the standard
+    append-mode caveat — exact late-data semantics belong to the batch
+    backfill). NULL values contribute 0; NULL ts rows are emitted with
+    NULL and do not advance the state clock."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} string, {ts_col} timestamp, {out} double"
+    state_schema = "s double, last_us long"
+    lam = math.log(2.0) / (float(half_life_s) * 1e6)
+
+    def update(k, pdfs, state: GroupState):
+        s, last_us = (state.get if state.exists else (0.0, None))
+        rows = []
+        frames = [pdf for pdf in pdfs]
+        if frames:
+            batch = pd.concat(frames).sort_values([ts_col, value_col])
+            for r in batch.itertuples():
+                ts = getattr(r, ts_col)
+                if pd.isna(ts):
+                    rows.append({key: k[0], ts_col: ts, out: None})
+                    continue
+                cur_us = ts.value // 1000
+                if last_us is not None:
+                    s = s * math.exp(-lam * max(0, cur_us - last_us))
+                rows.append({key: k[0], ts_col: ts, out: s})
+                v = getattr(r, value_col)
+                s += 0.0 if pd.isna(v) else float(v)
+                last_us = cur_us
+        state.update((float(s), last_us))
+        yield pd.DataFrame(rows, columns=[key, ts_col, out])
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     query_df: DataFrame, name: str, checkpoint: str, output_mode: str = "update"
 ):

@@ -343,3 +343,56 @@ def test_streaming_session_attribution_matches_batch(
         .collect()
     }
     assert got == exp and got  # non-empty parity
+
+
+def test_streaming_decayed_sum_matches_reference(spark, tmp_path):
+    """streaming_decayed_sum (O(1)-state recurrence) drained over a
+    2-file stream == the unbounded loop reference, strictly-prior
+    semantics included."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    rng_vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5, 8.0, 9.7]
+    for i in range(40):
+        rows.append((
+            f"u{i % 3}",
+            t0 + dt.timedelta(seconds=i * 137 % 4000),
+            rng_vals[i % len(rng_vals)] if i % 7 else None,
+            i,
+        ))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    src = str(tmp_path / "decay_stream")
+    df.where(F.col("i") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    df.where(F.col("i") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = INC.streaming_decayed_sum(
+        stream, key="k", ts_col="ts", value_col="v", half_life_s=600
+    )
+    INC.run_available_now(out, "decay_out", str(tmp_path / "ck_decay"))
+    got = {
+        (r["k"], r["ts"]): r["value_decay"]
+        for r in spark.table("decay_out").collect()
+    }
+
+    lam = math.log(2.0) / (600 * 1e6)
+    by_key = {}
+    for k, ts, v, i in rows:
+        by_key.setdefault(k, []).append((ts, v))
+    want = {}
+    for k, seq in by_key.items():
+        seq.sort(key=lambda p: p[0])
+        for pos, (ts, v) in enumerate(seq):
+            cur = ts.timestamp() * 1e6
+            s = sum(
+                (pv or 0.0) * math.exp(-lam * (cur - pts.timestamp() * 1e6))
+                for pts, pv in seq[:pos]
+            )
+            want[(k, ts)] = s
+    assert set(got) == set(want)
+    for key_ in want:
+        assert abs(got[key_] - want[key_]) < 1e-9, key_
