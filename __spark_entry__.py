@@ -1464,12 +1464,13 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT event_type) OVER
                    ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
                    AS n_types_last_10,
-               round(coalesce(list_sum(list_transform(
-                   list(struct_pack(us := epoch_us(ts),
-                                    v := coalesce(value, 0.0))) OVER
-                       ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
-                   p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
-               )), 0.0), 6) + 0.0 AS value_decay
+               CASE WHEN ts IS NULL THEN NULL  -- engine: no reference instant
+                    ELSE round(coalesce(list_sum(list_transform(
+                        list(struct_pack(us := epoch_us(ts),
+                                         v := coalesce(value, 0.0))) OVER
+                            ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                        p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
+                    )), 0.0), 6) + 0.0 END AS value_decay
         FROM events
     """
 
@@ -2320,19 +2321,20 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT event_type) OVER
                    ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
                    AS n_types_last_10,
-               round(coalesce(list_sum(list_transform(
-                   list(struct_pack(us := epoch_us(ts),
-                                    v := coalesce(value, 0.0))) OVER
-                       ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
-                   p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
-               )), 0.0), 6) + 0.0 AS value_decay_600s
+               CASE WHEN ts IS NULL THEN NULL  -- engine: no reference instant
+                    ELSE round(coalesce(list_sum(list_transform(
+                        list(struct_pack(us := epoch_us(ts),
+                                         v := coalesce(value, 0.0))) OVER
+                            ({ev_w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                        p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
+                    )), 0.0), 6) + 0.0 END AS value_decay_600s
         FROM sessions
     """
 
-    # tr_golden_features: the Spark query writes the deterministic
-    # transcript fixture to TR_FIXTURE_PATH before returning, and this
-    # oracle recomputes the full golden feature suite over the SAME
-    # parquet bytes — the north-star artifact's value hash (VERDICT r4
+    # tr_golden_features: both engines read the CHECKED-IN fixture at
+    # TR_FIXTURE_PATH (no run-order dependency — see the constant's
+    # comment), and this oracle recomputes the full golden feature
+    # suite over the SAME parquet bytes — the north-star artifact's value hash (VERDICT r4
     # #2). Every feature is the window-SQL twin of features/turns.py;
     # trailing frames end at 1 PRECEDING (leakage contract), the 600s
     # frame ends at 1 µs PRECEDING on the epoch_us ordering.

@@ -330,7 +330,10 @@ def streaming_decayed_sum(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key} string, {ts_col} timestamp, {out} double"
+    # key type follows the input schema (hardcoding string would die
+    # deep inside Arrow serialization for e.g. bigint keys)
+    key_t = stream.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_t}, {ts_col} timestamp, {out} double"
     state_schema = "s double, last_us long"
     lam = math.log(2.0) / (float(half_life_s) * 1e6)
 

@@ -234,6 +234,5 @@ def test_checked_in_tr_fixture_matches_datagen(spark):
     fixture = spark.read.parquet(TR_FIXTURE_PATH)
     gen = transcripts(spark, n_conv=300, giant_convs=3, giant_turns=2000)
     assert fixture.count() == gen.count() == 10473
-    # exact multiset equality, both directions
+    # equal counts + empty one-direction difference ⇒ multiset equality
     assert fixture.exceptAll(gen).count() == 0
-    assert gen.exceptAll(fixture).count() == 0

@@ -136,7 +136,7 @@ def test_event_feature_dag_single_shuffle(spark, tmp_path_factory):
         [
             "prev_event_type", "n_so_far", "cum_value", "value_sum_last_10",
             "n_events_600s", "session_id", "last_click_value",
-            "event_type_lag_2",
+            "event_type_lag_2", "n_types_last_10", "value_decay_600s",
         ],
     )
     plan = _plan(out)

@@ -360,16 +360,27 @@ def test_streaming_decayed_sum_matches_reference(spark, tmp_path):
     for i in range(40):
         rows.append((
             f"u{i % 3}",
-            t0 + dt.timedelta(seconds=i * 137 % 4000),
+            # ts MONOTONE in i: the batch split below puts all early
+            # rows in file 1 and later rows in file 2, so processing
+            # order == event order and the reference stays exact even
+            # across micro-batch boundaries
+            t0 + dt.timedelta(seconds=i * 137),
             rng_vals[i % len(rng_vals)] if i % 7 else None,
             i,
         ))
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
     src = str(tmp_path / "decay_stream")
-    df.where(F.col("i") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
-    df.where(F.col("i") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    df.where(F.col("i") < 20).coalesce(1).write.mode("overwrite").parquet(src)
+    df.where(F.col("i") >= 20).coalesce(1).write.mode("append").parquet(src)
 
-    stream = spark.readStream.schema(df.schema).parquet(src)
+    # maxFilesPerTrigger=1 forces TWO micro-batches, so the second one
+    # exercises the state-restore branch (state.exists == True) —
+    # code-review r5: one availableNow batch never restored state
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     out = INC.streaming_decayed_sum(
         stream, key="k", ts_col="ts", value_col="v", half_life_s=600
     )
