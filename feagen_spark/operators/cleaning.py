@@ -1,6 +1,9 @@
 """Corpus cleaning / preparation operators (task brief: large-scale
-training-data pipeline), all JVM-side — map-only or explode-only plans
-that stay in whole-stage codegen:
+training-data pipeline). The scrub/split/chunk/sample core is JVM-side
+— map-only or explode-only plans that stay in whole-stage codegen; the
+r5 sampling/packing additions (``deterministic_negatives``,
+``pack_sequences``) add one bounded equi-join/window or one
+applyInPandas group pass, never an all-pairs or global-sort shape:
 
 - ``scrub_pii``: regex redaction of emails / phone numbers / IPv4s.
   Fixed public patterns, deliberately conservative — a production
@@ -237,4 +240,83 @@ def deterministic_negatives(
             F.col("draw").cast("int").alias("draw"),
             "neg_id",
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_len: int,
+    n_buckets: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack variable-length documents into fixed-budget training
+    sequences (context-window packing, the pretraining prep step that
+    turns a ragged corpus into dense max_len-token rows).
+
+    Scalable shape: docs hash into ``n_buckets`` independent packing
+    groups (parallelism = n_buckets, no global sort, no sequential
+    pass over the corpus); within each group, first-fit-decreasing
+    over (len desc, id asc) via ONE applyInPandas — deterministic
+    across runs/layouts/cluster sizes because both the grouping and
+    the within-group order are content hashes, never arrival order.
+    Packing quality: FFD wastes at most ~22 % of bins vs optimal in
+    the worst case and is near-perfect on natural length mixes;
+    cross-bucket imbalance only affects the LAST partially-filled
+    sequence of each bucket (≤ n_buckets underfull sequences total).
+
+    Docs with ``len > max_len`` are emitted as singleton sequences
+    flagged ``oversize=1`` — chunk upstream (``chunk_text``) if that
+    is not intended. Output: one row per doc with its assigned
+    (bucket, seq, offset); ``seq_uid`` = bucket·2³² + seq is the
+    globally unique sequence id downstream writers group by."""
+    import pandas as pd
+
+    if max_len < 1 or n_buckets < 1:
+        raise ValueError("max_len and n_buckets must be >= 1")
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, {len_col} long, bucket int, seq long, "
+        f"offset long, oversize int"
+    )
+
+    bucketed = df.select(id_col, len_col).withColumn(
+        "__bkt",
+        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per sequence
+        rows = []
+        bkt = int(pdf["__bkt"].iloc[0])
+        for r in pdf.itertuples(index=False):
+            ln = int(getattr(r, len_col))
+            if ln > max_len:
+                bins.append(0)  # singleton, full
+                rows.append((getattr(r, id_col), ln, bkt, len(bins) - 1, 0, 1))
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= ln:
+                    rows.append(
+                        (getattr(r, id_col), ln, bkt, i, max_len - cap, 0)
+                    )
+                    bins[i] = cap - ln
+                    break
+            else:
+                bins.append(max_len - ln)
+                rows.append((getattr(r, id_col), ln, bkt, len(bins) - 1, 0, 0))
+        return pd.DataFrame(
+            rows,
+            columns=[id_col, len_col, "bucket", "seq", "offset", "oversize"],
+        )
+
+    out = bucketed.groupBy("__bkt").applyInPandas(pack, schema=out_schema)
+    return out.withColumn(
+        "seq_uid", F.col("bucket").cast("long") * F.lit(2**32) + F.col("seq")
     )

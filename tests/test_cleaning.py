@@ -158,3 +158,74 @@ def test_deterministic_negatives_properties(spark):
     # plan shape: equi-join, never a cartesian/BNLJ
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_matches_ffd_reference(spark):
+    """pack_sequences: every doc exactly once, budget respected, FFD
+    parity with a loop reference per bucket, oversize singletons
+    flagged, deterministic under repartition."""
+    from feagen_spark.operators.cleaning import pack_sequences
+
+    lens = [900, 512, 300, 300, 256, 200, 150, 100, 64, 30, 1100, 7]
+    docs = spark.createDataFrame(
+        [(i, lens[i % len(lens)] + (i // len(lens))) for i in range(120)],
+        "doc_id long, n_tok long",
+    )
+    out = pack_sequences(
+        docs, "doc_id", "n_tok", max_len=1024, n_buckets=8
+    )
+    rows = [
+        (r["doc_id"], r["n_tok"], r["bucket"], r["seq"], r["offset"],
+         r["oversize"], r["seq_uid"])
+        for r in out.collect()
+    ]
+    assert len(rows) == 120
+    assert len({r[0] for r in rows}) == 120  # every doc exactly once
+
+    # budget: sum of lens per sequence <= max_len unless oversize
+    by_seq = {}
+    for doc, ln, bkt, seq, off, ov, uid in rows:
+        assert uid == bkt * 2**32 + seq
+        by_seq.setdefault(uid, []).append((ln, off, ov))
+    for uid, members in by_seq.items():
+        if any(ov for _, _, ov in members):
+            assert len(members) == 1  # oversize docs are singletons
+        else:
+            assert sum(ln for ln, _, _ in members) <= 1024, uid
+            # offsets are consistent: distinct, start at 0 packing order
+            offs = sorted(off for _, off, _ in members)
+            assert offs[0] == 0 and len(set(offs)) == len(offs)
+
+    # FFD loop reference per bucket (same order: len desc, id asc)
+    import collections
+    ref_assign = {}
+    by_bucket = collections.defaultdict(list)
+    for doc, ln, bkt, *_ in rows:
+        by_bucket[bkt].append((ln, doc))
+    for bkt, items in by_bucket.items():
+        items.sort(key=lambda p: (-p[0], p[1]))
+        bins = []
+        for ln, doc in items:
+            if ln > 1024:
+                bins.append(0)
+                ref_assign[doc] = (bkt, len(bins) - 1)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= ln:
+                    ref_assign[doc] = (bkt, i)
+                    bins[i] = cap - ln
+                    break
+            else:
+                bins.append(1024 - ln)
+                ref_assign[doc] = (bkt, len(bins) - 1)
+    got_assign = {doc: (bkt, seq) for doc, _, bkt, seq, _, _, _ in rows}
+    assert got_assign == ref_assign
+
+    # layout determinism
+    rows2 = {
+        (r["doc_id"], r["seq_uid"], r["offset"])
+        for r in pack_sequences(
+            docs.repartition(13), "doc_id", "n_tok", max_len=1024, n_buckets=8
+        ).collect()
+    }
+    assert rows2 == {(r[0], r[6], r[4]) for r in rows}
