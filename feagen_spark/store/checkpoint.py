@@ -461,6 +461,21 @@ class CheckpointStore:
                     if os.path.isdir(ext_aside) and not os.path.exists(ext_loc):
                         os.rename(ext_aside, ext_loc)
                         ext_aside = None
+                    elif os.path.isdir(ext_aside):
+                        # debris survived the rmtree, so the rename-back
+                        # was SKIPPED: the aside dir holds the only copy
+                        # of the prior version and vacuum() will sweep
+                        # it after the grace window. Say so loudly with
+                        # the recovery path — a silent fall-through here
+                        # loses the checkpoint with no signal beyond the
+                        # original swap exception (ADVICE r5).
+                        raise RuntimeError(
+                            f"checkpoint swap for {name!r} failed AND the "
+                            f"restore of {ext_loc!r} was blocked by "
+                            "leftover files; the prior version is "
+                            f"preserved ONLY at {ext_aside!r} — recover "
+                            "it before the vacuum grace window expires"
+                        )
                     try:
                         self._register_bucketed(
                             spark,

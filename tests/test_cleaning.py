@@ -160,10 +160,36 @@ def test_deterministic_negatives_properties(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pack_sequences_matches_ffd_reference(spark):
-    """pack_sequences: every doc exactly once, budget respected, FFD
-    parity with a loop reference per bucket, oversize singletons
-    flagged, deterministic under repartition."""
+def _bfd_reference(items, max_len):
+    """Loop best-fit-decreasing reference: items = [(len, doc)] sorted
+    (len desc, id asc); returns {doc: bin_index}. Best fit = tightest
+    open bin that still fits, ties to the LOWEST bin index — the exact
+    contract pack_sequences' bisect implements."""
+    caps = []  # residual capacity per bin index
+    assign = {}
+    for ln, doc in items:
+        if ln > max_len:
+            caps.append(0)
+            assign[doc] = len(caps) - 1
+            continue
+        # c > 0: full bins leave the open set (matters only for
+        # zero-length docs, which never reopen a full bin)
+        fits = [(c, i) for i, c in enumerate(caps) if c >= ln and c > 0]
+        if fits:
+            _, i = min(fits)
+            assign[doc] = i
+            caps[i] -= ln
+        else:
+            caps.append(max_len - ln)
+            assign[doc] = len(caps) - 1
+    return assign
+
+
+def test_pack_sequences_matches_bfd_reference(spark):
+    """pack_sequences: every doc exactly once, budget respected,
+    best-fit-decreasing parity with a loop reference per bucket
+    (r6: the O(n·bins) first-fit scan became O(n log n) best-fit),
+    oversize singletons flagged, deterministic under repartition."""
     from feagen_spark.operators.cleaning import pack_sequences
 
     lens = [900, 512, 300, 300, 256, 200, 150, 100, 64, 30, 1100, 7]
@@ -196,7 +222,7 @@ def test_pack_sequences_matches_ffd_reference(spark):
             offs = sorted(off for _, off, _ in members)
             assert offs[0] == 0 and len(set(offs)) == len(offs)
 
-    # FFD loop reference per bucket (same order: len desc, id asc)
+    # BFD loop reference per bucket (same order: len desc, id asc)
     import collections
     ref_assign = {}
     by_bucket = collections.defaultdict(list)
@@ -204,20 +230,8 @@ def test_pack_sequences_matches_ffd_reference(spark):
         by_bucket[bkt].append((ln, doc))
     for bkt, items in by_bucket.items():
         items.sort(key=lambda p: (-p[0], p[1]))
-        bins = []
-        for ln, doc in items:
-            if ln > 1024:
-                bins.append(0)
-                ref_assign[doc] = (bkt, len(bins) - 1)
-                continue
-            for i, cap in enumerate(bins):
-                if cap >= ln:
-                    ref_assign[doc] = (bkt, i)
-                    bins[i] = cap - ln
-                    break
-            else:
-                bins.append(1024 - ln)
-                ref_assign[doc] = (bkt, len(bins) - 1)
+        for doc, i in _bfd_reference(items, 1024).items():
+            ref_assign[doc] = (bkt, i)
     got_assign = {doc: (bkt, seq) for doc, _, bkt, seq, _, _, _ in rows}
     assert got_assign == ref_assign
 
@@ -229,3 +243,223 @@ def test_pack_sequences_matches_ffd_reference(spark):
         ).collect()
     }
     assert rows2 == {(r[0], r[6], r[4]) for r in rows}
+
+
+def test_pack_sequences_rows_hint_bounds_bucket_size(spark):
+    """The r6 sizing contract: rows_hint raises n_buckets so the
+    expected docs-per-bucket never exceeds max_docs_per_bucket (an
+    applyInPandas task materializes a whole bucket)."""
+    from feagen_spark.operators.cleaning import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(200)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(
+        docs, "doc_id", "n_tok", max_len=1024,
+        n_buckets=2, rows_hint=200, max_docs_per_bucket=10,
+    )
+    # ceil(200/10) = 20 buckets despite n_buckets=2; with 200 uniform
+    # docs every bucket should be hit
+    n_buckets_seen = out.select("bucket").distinct().count()
+    assert n_buckets_seen > 2, n_buckets_seen
+    assert out.count() == 200
+
+
+def test_pack_sequences_rejects_negative_lengths(spark):
+    import pytest
+
+    from feagen_spark.operators.cleaning import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, -5)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception, match="negative length"):
+        pack_sequences(docs, "doc_id", "n_tok", max_len=1024, n_buckets=1).collect()
+
+
+def test_materialize_packed_sequences_array_and_text(spark):
+    """materialize_packed_sequences: packed payloads concatenate in
+    offset order, used_len == sum of member lens <= max_len for
+    non-oversize rows, every doc appears in exactly one packed row,
+    array and string payloads both work."""
+    from feagen_spark.operators.cleaning import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
+
+    data = [(i, [i] * (30 + 7 * (i % 9))) for i in range(60)]
+    data.append((60, list(range(300))))  # oversize vs max_len=256
+    payload = spark.createDataFrame(
+        [(i, toks, "".join(chr(97 + t % 26) for t in toks))
+         for i, toks in data],
+        "doc_id long, toks array<int>, text string",
+    ).withColumn("n_tok", F.size("toks").cast("long"))
+
+    assign = pack_sequences(
+        payload, "doc_id", "n_tok", max_len=256, n_buckets=4
+    )
+    packed = materialize_packed_sequences(
+        assign, payload, "doc_id", "n_tok", "toks", max_len=256
+    ).collect()
+
+    # coverage: total docs across packed rows == corpus size
+    assert sum(r["n_docs"] for r in packed) == 61
+    for r in packed:
+        assert len(r["packed"]) == r["used_len"]
+        if not r["oversize"]:
+            assert r["used_len"] <= 256
+    # concatenation order matches offsets: rebuild each sequence from
+    # the assignment table and compare
+    a_rows = assign.collect()
+    by_seq = {}
+    for ar in a_rows:
+        by_seq.setdefault(ar["seq_uid"], []).append(ar)
+    tok_of = dict(data)
+    for r in packed:
+        members = sorted(
+            by_seq[r["seq_uid"]], key=lambda x: (x["offset"], x["doc_id"])
+        )
+        want = [t for m in members for t in tok_of[m["doc_id"]]]
+        assert list(r["packed"]) == want, r["seq_uid"]
+
+    # string payload path: array_join in the same order
+    packed_txt = materialize_packed_sequences(
+        assign, payload, "doc_id", "n_tok", "text"
+    ).collect()
+    txt_of = {i: "".join(chr(97 + t % 26) for t in toks) for i, toks in data}
+    for r in packed_txt:
+        members = sorted(
+            by_seq[r["seq_uid"]], key=lambda x: (x["offset"], x["doc_id"])
+        )
+        assert r["packed"] == "".join(txt_of[m["doc_id"]] for m in members)
+
+
+def test_materialize_packed_budget_violation_raises(spark):
+    """A corrupted assignment that over-packs a sequence must fail the
+    job (ANSI raise_error), never silently ship an over-budget row."""
+    import pytest
+
+    from feagen_spark.operators.cleaning import materialize_packed_sequences
+
+    payload = spark.createDataFrame(
+        [(1, [0] * 200), (2, [1] * 200)], "doc_id long, toks array<int>"
+    )
+    bogus = spark.createDataFrame(
+        [(1, 200, 0, 0, 0, 0, 0), (2, 200, 0, 0, 200, 0, 0)],
+        "doc_id long, n_tok long, bucket int, seq long, offset long, "
+        "oversize int, seq_uid long",
+    )
+    with pytest.raises(Exception, match="over budget"):
+        materialize_packed_sequences(
+            bogus, payload, "doc_id", "n_tok", "toks", max_len=256
+        ).collect()
+
+
+def test_deterministic_negatives_md5_and_id_contract(spark):
+    """r6: method='md5' (the oracle bridge) is deterministic and obeys
+    the same invariants; NULL ids are rejected up front; and
+    exclude_self=False admits id-coincident pairs for disjoint entity
+    spaces (ADVICE r5)."""
+    from feagen_spark.operators.cleaning import deterministic_negatives
+
+    corpus = spark.range(300).select(F.col("id").alias("doc_id"))
+    anchors = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = deterministic_negatives(
+        anchors, corpus, "doc_id", "doc_id", k=3, n_buckets=32, method="md5"
+    )
+    rows = {(r["doc_id"], r["draw"], r["neg_id"]) for r in out.collect()}
+    assert 40 * 2 <= len(rows) <= 40 * 3
+    assert all(a != n for a, _, n in rows)
+    rows2 = {
+        (r["doc_id"], r["draw"], r["neg_id"])
+        for r in deterministic_negatives(
+            anchors.repartition(5), corpus.repartition(9, "doc_id"),
+            "doc_id", "doc_id", k=3, n_buckets=32, method="md5",
+        ).collect()
+    }
+    assert rows2 == rows
+
+    # NULL ids on either side are dropped up front, not silently eaten
+    # by the self-pair comparison
+    anchors_n = spark.createDataFrame(
+        [(1,), (None,)], "doc_id long"
+    )
+    corpus_n = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)], "doc_id long"
+    )
+    got = deterministic_negatives(
+        anchors_n, corpus_n, "doc_id", "doc_id", k=2, n_buckets=4
+    ).collect()
+    assert all(r["doc_id"] == 1 and r["neg_id"] is not None for r in got)
+
+    # disjoint id spaces: with exclude_self=False an id-coincident
+    # candidate is a VALID negative
+    one_anchor = spark.createDataFrame([(7,)], "qid long")
+    tiny_corpus = spark.createDataFrame([(7,)], "doc_id long")
+    kept = deterministic_negatives(
+        one_anchor, tiny_corpus, "qid", "doc_id", k=2, n_buckets=1,
+        exclude_self=False,
+    ).collect()
+    assert {r["neg_id"] for r in kept} == {7}
+    dropped = deterministic_negatives(
+        one_anchor, tiny_corpus, "qid", "doc_id", k=2, n_buckets=1,
+    ).collect()
+    assert dropped == []
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lens=st.lists(st.integers(0, 1400), min_size=1, max_size=80),
+        max_len=st.sampled_from([128, 1024]),
+    )
+    def test_pack_sequences_property(spark, lens, max_len):
+        """Random length mixes (zeros, oversize, duplicates): BFD loop
+        parity per bucket + budget/coverage/offset invariants
+        (VERDICT r5 #2)."""
+        from feagen_spark.operators.cleaning import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lens)],
+            "doc_id long, n_tok long",
+        )
+        rows = pack_sequences(
+            docs, "doc_id", "n_tok", max_len=max_len, n_buckets=2
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == sorted(range(len(lens)))
+        import collections
+
+        by_bucket = collections.defaultdict(list)
+        by_seq = collections.defaultdict(list)
+        for r in rows:
+            by_bucket[r["bucket"]].append((r["n_tok"], r["doc_id"]))
+            by_seq[(r["bucket"], r["seq"])].append(r)
+        for bkt, items in by_bucket.items():
+            items.sort(key=lambda p: (-p[0], p[1]))
+            ref = _bfd_reference(items, max_len)
+            got = {
+                r["doc_id"]: r["seq"] for r in rows if r["bucket"] == bkt
+            }
+            assert got == ref, bkt
+        for (bkt, seq), members in by_seq.items():
+            if any(m["oversize"] for m in members):
+                assert len(members) == 1
+            else:
+                assert sum(m["n_tok"] for m in members) <= max_len
+                # offsets = running prefix in assignment order
+                fills = sorted(
+                    (m["offset"], m["n_tok"]) for m in members
+                )
+                run = 0
+                for off, ln in fills:
+                    assert off == run
+                    run += ln
