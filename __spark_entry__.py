@@ -420,15 +420,32 @@ def q_ev_asof_inclusive(spark, sf_dir):
     )
 
 
-def q_ev_value_median(spark, sf_dir):
-    """Exact interpolated median + p90 per event_type (percentile ==
-    DuckDB quantile_cont)."""
+def q_ev_type_stats(spark, sf_dir):
+    """Per-event-type stats in one entry (r6, 50-entry artifact cap —
+    merged ev_value_median + ev_json_props, same 5-row event_type row
+    set; the freed slot carries ev_stream_decay): exact interpolated
+    median + p90 (percentile == DuckDB quantile_cont) AND the
+    semi-structured JSON extraction aggregate (events.props is a JSON
+    string; get_json_object — JVM-side, no Python — feeds a relational
+    aggregate, the standard log-analytics schema-on-read shape). One
+    groupBy each, stitched on event_type."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
         F.count(F.lit(1)).alias("n"),
     )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    js = (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt_50"),
+        )
+    )
+    return med.join(js, on="event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -570,8 +587,23 @@ def q_join_revenue_by_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_doc_profile(spark, sf_dir):
+    """Per-doc corpus prep in one entry (r6, 50-entry artifact cap —
+    VERDICT r5 #1 freed this slot for doc_negatives): the C13 text
+    scalars (lengths, ratios, quality, lang id, fingerprint) PLUS the
+    exact-dedup keep flag and the deterministic train/val/test hash
+    split — all one row per document, joined on doc_id.
+
+    The profile side keeps the ``_docs()`` repartition (regex token
+    scan is CPU-heavy over a single-row-group parquet); the dedup/split
+    side deliberately does NOT (VERDICT r2 #2: exact_dedup shuffles
+    32-char digests, not text — an up-front full-text repartition costs
+    more than it buys, measured 2.9× at sf0.1; at 100 TB it's a
+    needless full-corpus shuffle). The stitch join exchanges scalars
+    only."""
+    from feagen_spark.operators.cleaning import hash_split
+
     d = TS.text_profile(_docs(spark, sf_dir))
-    return d.select(
+    prof = d.select(
         "doc_id",
         F.col("char_len").cast("long").alias("char_len"),
         F.col("token_count").cast("long").alias("token_count"),
@@ -582,32 +614,17 @@ def q_doc_profile(spark, sf_dir):
         "lang_id",
         "fingerprint",
     )
-
-
-def q_doc_keep_split(spark, sf_dir):
-    """Exact dedup (keep-list) + deterministic train/val/test hash split
-    in one entry (r5, 50-entry artifact cap): per doc, the fold
-    assignment (engine-portable md5 mode — DuckDB reproduces the
-    identical per-row fold) and whether the exact-dedup pass keeps the
-    doc (1 = canonical copy of its normalized text, 0 = dropped dup).
-
-    No ``_docs()`` split here (VERDICT r2 #2): exact_dedup's only heavy
-    work is one md5 per row and it already shuffles 32-char digests, not
-    text — an up-front full-text repartition costs more than it buys
-    (measured 2.9× at sf0.1; at 100 TB it's a needless full-corpus
-    shuffle)."""
-    from feagen_spark.operators.cleaning import hash_split
-
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(
         docs, method="md5", weights={"train": 80, "val": 10, "test": 10}
     ).select("doc_id", "split")
     kept = D.exact_dedup(docs).select("doc_id", F.lit(1).alias("is_kept"))
-    return split.join(kept, on="doc_id", how="left").select(
+    keep_split = split.join(kept, on="doc_id", how="left").select(
         "doc_id",
         "split",
         F.coalesce("is_kept", F.lit(0)).cast("int").alias("is_kept"),
     )
+    return prof.join(keep_split, on="doc_id")
 
 
 def q_doc_dup_audit(spark, sf_dir):
@@ -1100,23 +1117,69 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
-def q_ev_json_props(spark, sf_dir):
-    """Semi-structured column support: events.props is a JSON string;
-    extract $.k (get_json_object — JVM-side, no Python), then aggregate
-    per event_type. The standard log-analytics shape: schema-on-read
-    extraction feeding a relational aggregate."""
-    ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        ev.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("k_sum"),
-            F.round(F.avg("k"), 6).alias("k_avg"),
-            F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt_50"),
-        )
+def q_doc_negatives(spark, sf_dir):
+    """Deterministic negative sampling with a FULL VALUE ORACLE
+    (VERDICT r5 #1): every anchor (1-in-10 docs) draws k=4
+    pseudo-random negatives from the whole corpus via the hash-bucket
+    probe — method='md5' so DuckDB reproduces bucket assignment, the
+    per-draw ranking hash AND the duplicate collapse bit-for-bit.
+    Never all-pairs: |anchors|·k probe rows equi-join 1/n_buckets-sized
+    corpus buckets."""
+    from feagen_spark.operators.cleaning import deterministic_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    anchors = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    corpus = docs.select("doc_id")
+    out = deterministic_negatives(
+        anchors, corpus, "doc_id", "doc_id",
+        k=4, n_buckets=32, method="md5",
     )
+    return out.select("doc_id", "draw", "neg_id")
+
+
+def q_ev_stream_decay(spark, sf_dir):
+    """Streaming O(1)-state exponential decay with the batch value
+    oracle (VERDICT r5 #7): the events parquet is drained through a
+    real streaming query (file source → applyInPandasWithState
+    recurrence S ← S·2^(−Δt/h) + v → availableNow into a memory sink);
+    the emitted per-row engagement score must equal DuckDB's direct
+    Σ vᵢ·2^(−ageᵢ/h) over ALL strictly-prior rows. Rounded to 4 dp —
+    the recurrence and the direct sum are algebraically equal but
+    associate floating point differently (~1e-11 worst-case drift on
+    these chains), so 6 dp would flake roughly once per driver run
+    while 4 dp has ~1e-2 collision odds per full sf0.01 drain."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from feagen_spark.streaming.incremental import (
+        run_available_now,
+        streaming_decayed_sum,
+    )
+
+    static = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    dec = streaming_decayed_sum(
+        stream, key="user_id", ts_col="ts", value_col="value",
+        half_life_s=600.0,
+    )
+    name = f"ev_stream_decay_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_decay_")
+    run_available_now(dec, name, ckpt, output_mode="update")
+    res = spark.table(name)
+    out = res.select(
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        (F.round("value_decay", 4) + 0.0).alias("value_decay"),
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def q_doc_mixture_report(spark, sf_dir):
@@ -1348,20 +1411,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_backfill_state": q_ev_backfill_state,
         "ev_topk_per_user": q_ev_topk_per_user,
         "ev_user_profile": q_ev_user_profile,
-        "ev_value_median": q_ev_value_median,
+        "ev_type_stats": q_ev_type_stats,
         "ev_value_scaling": q_ev_value_scaling,
         "ev_stratified_sample": q_ev_stratified_sample,
-        "ev_json_props": q_ev_json_props,
         "ev_feature_dag": q_ev_feature_dag,
         "ev_incremental_refresh": q_ev_incremental_refresh,
         "ev_session_aggs_streaming": q_ev_session_aggs_streaming,
         "ev_stream_attribution": q_ev_stream_attribution,
+        "ev_stream_decay": q_ev_stream_decay,
         "li_rollup": q_li_rollup,
         "li_grouping_sets": q_li_grouping_sets,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
         "doc_profile": q_doc_profile,
-        "doc_keep_split": q_doc_keep_split,
+        "doc_negatives": q_doc_negatives,
         "doc_dup_audit": q_doc_dup_audit,
         "doc_tfidf": q_doc_tfidf,
         "doc_quality_signals": q_doc_quality_signals,
@@ -1527,6 +1590,23 @@ def oracle_sql() -> dict[str, str]:
     # the streaming drains must be row-identical to their batch twins
     sql["ev_session_aggs_streaming"] = sql["ev_session_aggs"]
     sql["ev_stream_attribution"] = sql["ev_session_attribution"]
+    # streaming decayed sum: the state recurrence processes rows in
+    # (ts, value) order per key (no event_id reaches the operator), so
+    # the oracle window orders the same way; the UNBOUNDED frame is the
+    # point — O(1) streaming state replaces the batch frame cap. 4 dp:
+    # recurrence vs direct-sum float association (see q_ev_stream_decay)
+    sql["ev_stream_decay"] = f"""
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN ts IS NULL THEN NULL
+                    ELSE round(coalesce(list_sum(list_transform(
+                        list(struct_pack(us := epoch_us(ts),
+                                         v := coalesce(value, 0.0))) OVER
+                            (PARTITION BY user_id ORDER BY ts, value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        p -> p.v * exp(-{_lam} * (epoch_us(ts) - p.us))
+                    )), 0.0), 4) + 0.0 END AS value_decay
+        FROM events
+    """
 
     sql["ev_asof_purchase_click"] = f"""
         WITH st AS (
@@ -1634,11 +1714,20 @@ def oracle_sql() -> dict[str, str]:
         FROM st WHERE event_type = 'signup'
     """
 
-    sql["ev_value_median"] = """
+    # r6 merge (50-entry cap): median/p90 + the JSON schema-on-read
+    # aggregate share the event_type row set
+    sql["ev_type_stats"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS median_value,
                round(quantile_cont(value, 0.9), 6) AS p90_value,
-               count(*) AS n
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+                   AS k_avg,
+               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50
         FROM events GROUP BY event_type
     """
 
@@ -1657,19 +1746,6 @@ def oracle_sql() -> dict[str, str]:
                wt AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
                wr AS (PARTITION BY user_id ORDER BY value, event_id)
-    """
-
-    sql["ev_json_props"] = """
-        SELECT event_type,
-               count(*) AS n,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS k_sum,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
-                   AS k_avg,
-               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
-                                       AS BIGINT) > 50
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50
-        FROM events GROUP BY event_type
     """
 
     sql["emb_label_centroids"] = """
@@ -1776,8 +1852,54 @@ def oracle_sql() -> dict[str, str]:
                round({stop_ratio}, 6) AS stopword_ratio,
                {quality} AS quality_score,
                {_sql_lang_id("text")} AS lang_id,
-               md5({_NORM}) AS fingerprint
-        FROM documents
+               md5({_NORM}) AS fingerprint,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS INT)
+                   AS is_kept
+        FROM (
+            SELECT *,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b,
+                   min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
+            FROM documents
+        )
+    """
+
+    # negatives oracle: reruns the md5 hash-bucket probe end-to-end in
+    # SQL — corpus bucket, (anchor, draw) probe bucket, hex-string rank
+    # order and the lowest-draw duplicate collapse (VERDICT r5 #1)
+    sql["doc_negatives"] = """
+        WITH cand AS (
+            SELECT doc_id AS neg_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 32 AS bkt
+            FROM documents
+        ), probes AS (
+            SELECT a.doc_id AS anchor, j.draw,
+                   CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR) || ':'
+                             || CAST(j.draw AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 32 AS bkt
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) a,
+                 (SELECT unnest(range(4)) AS draw) j
+        ), ranked AS (
+            SELECT anchor, draw, neg_id,
+                   row_number() OVER (PARTITION BY anchor, draw
+                       ORDER BY md5(CAST(anchor AS VARCHAR) || ':'
+                                    || CAST(draw AS VARCHAR) || ':'
+                                    || CAST(neg_id AS VARCHAR)),
+                                neg_id) AS rn
+            FROM probes JOIN cand USING (bkt)
+            WHERE neg_id != anchor
+        ), collapsed AS (
+            SELECT anchor, draw, neg_id,
+                   row_number() OVER (PARTITION BY anchor, neg_id
+                       ORDER BY draw) AS dn
+            FROM ranked WHERE rn = 1
+        )
+        SELECT anchor AS doc_id, CAST(draw AS INT) AS draw, neg_id
+        FROM collapsed WHERE dn = 1
     """
 
     # curation quota: top 20 per lang by the SAME rounded quality
@@ -1790,22 +1912,6 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY {quality} DESC, doc_id ASC) AS INT) AS rank
             FROM documents
         ) WHERE rank <= 20
-    """
-
-    sql["doc_keep_split"] = f"""
-        SELECT doc_id,
-               CASE WHEN b < 80 THEN 'train'
-                    WHEN b < 90 THEN 'val'
-                    ELSE 'test' END AS split,
-               CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS INT)
-                   AS is_kept
-        FROM (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS UBIGINT) % 100 AS b,
-                   min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
-            FROM documents
-        )
     """
 
     sql["doc_dup_audit"] = f"""

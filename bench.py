@@ -42,19 +42,18 @@ HEADLINE = [
     "ev_topk_per_user",
     "ev_user_profile",        # r4 ev_type_counts + ev_pivot_counts
     "ev_asof_inclusive",
-    "ev_value_median",
+    "ev_type_stats",          # r5 ev_value_median + ev_json_props
     "ev_value_scaling",       # r4 zscore + zscore_trailing + decile
     "ev_asof_ttl_nearest",    # r4 ev_asof_tolerance + ev_asof_nearest
     "ev_stratified_sample",
-    "ev_json_props",
     "doc_mixture_report",
     "emb_label_centroids",
     "li_rollup",
     "li_grouping_sets",
     "li_pricing_summary",
     "join_revenue_by_priority",
-    "doc_profile",
-    "doc_keep_split",         # r4 doc_exact_dedup + doc_hash_split
+    "doc_profile",            # r6: + r5 doc_keep_split (dedup keep + hash split)
+    "doc_negatives",          # r6: deterministic negative sampling
     "doc_minhash_pairs",
     "doc_simhash",
     "doc_sparse_features",
