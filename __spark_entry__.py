@@ -124,12 +124,12 @@ def q_ev_rolling(spark, sf_dir):
     ev = W.add_rolling_time(
         ev, "user_id", "ts", F.count(F.lit(1)), "n_events_600s", last_seconds=600
     )
-    ev = W.add_rolling_distinct(
-        ev, "user_id", EV_ORDER, "event_type", "n_types_last_10", last_n=10
-    )
-    ev = W.add_rolling_decayed_sum(
-        ev, "user_id", EV_ORDER, "ts", "value", "value_decay",
-        half_life_s=600, last_n=10,
+    # fused: distinct count + decayed sum share ONE frame list
+    # (VERDICT r5 #5 — bit-identical to the standalone operators)
+    ev = W.add_rolling_frame_features(
+        ev, "user_id", EV_ORDER, "ts", "value",
+        distinct_col="event_type", distinct_out="n_types_last_10",
+        decay_out="value_decay", half_life_s=600, last_n=10,
     )
     return ev.select(
         "event_id",

@@ -75,19 +75,17 @@ def add_session_id(df: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     return W.add_session_id(df, KEY, ORDER, "ts", gap_s=gap_s)
 
 
-def add_n_types_last_10(df: DataFrame) -> DataFrame:
-    """Trailing novelty/diversity signal (r5)."""
-    return W.add_rolling_distinct(
-        df, KEY, ORDER, "event_type", "n_types_last_10", last_n=10
-    )
-
-
-def add_value_decay_600s(df: DataFrame) -> DataFrame:
-    """Recency-weighted engagement (r5): 600 s half-life over the
-    last-10 frame."""
-    return W.add_rolling_decayed_sum(
-        df, KEY, ORDER, "ts", "value", "value_decay_600s",
-        half_life_s=600, last_n=10,
+def add_rolling_frame_r5(df: DataFrame) -> DataFrame:
+    """Trailing novelty/diversity + recency-weighted engagement (r5)
+    as ONE fused node (VERDICT r5 #5): both features share the last-10
+    frame, so the DAG pays a single collect_list materialization
+    instead of a collect_set + a collect_list in the same Window
+    operator. Results are bit-identical to the standalone
+    add_rolling_distinct / add_rolling_decayed_sum."""
+    return W.add_rolling_frame_features(
+        df, KEY, ORDER, "ts", "value",
+        distinct_col="event_type", distinct_out="n_types_last_10",
+        decay_out="value_decay_600s", half_life_s=600, last_n=10,
     )
 
 
@@ -154,8 +152,8 @@ def event_nodes() -> list[FeatureNode]:
         n("value_sum_last_10", ("value_sum_last_10",), base + ("value",), add_value_sum_last_10),
         n("n_events_600s", ("n_events_600s",), base, add_n_events_600s),
         n("session_id", ("session_id",), base, add_session_id),
-        n("n_types_last_10", ("n_types_last_10",), base + ("event_type",), add_n_types_last_10),
-        n("value_decay_600s", ("value_decay_600s",), base + ("value",), add_value_decay_600s),
+        n("rolling_frame_r5", ("n_types_last_10", "value_decay_600s"),
+          base + ("event_type", "value"), add_rolling_frame_r5),
     ]
 
 

@@ -207,3 +207,46 @@ def test_rolling_distinct_and_decayed_sum_match_reference(spark):
             assert abs(gd - decay) < 1e-9, (rid, gd, decay)
     # empty frame: first row of each key
     assert got[0] == (0, 0.0) and got[5] == (0, 0.0)
+
+
+def test_rolling_frame_features_fused_parity(spark):
+    """add_rolling_frame_features (r6 fusion, VERDICT r5 #5) must be
+    bit-identical to the standalone distinct + decayed-sum pair on the
+    same frame, including NULL tag / NULL value / NULL ts corners."""
+    rows = [
+        (0, "a", 0, 1.0, "x"),
+        (1, "a", 100, 2.0, None),   # NULL tag: excluded from distinct
+        (2, "a", 200, None, "x"),   # NULL value: contributes 0 to decay
+        (3, "a", 900, 4.0, "z"),
+        (4, "a", None, 5.0, "y"),   # NULL ts: NULL decay, no weight
+        (5, "b", 0, 7.0, "x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, s, v, e) for i, k, s, v, e in rows],
+        "rid long, k string, sec long, v double, etype string",
+    ).select(
+        "rid", "k", "v", "etype",
+        F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+    )
+    sep = W.add_rolling_distinct(
+        df, "k", ("ts", "rid"), "etype", "n_types", last_n=3
+    )
+    sep = W.add_rolling_decayed_sum(
+        sep, "k", ("ts", "rid"), "ts", "v", "decay",
+        half_life_s=600, last_n=3,
+    )
+    fused = W.add_rolling_frame_features(
+        df, "k", ("ts", "rid"), "ts", "v",
+        distinct_col="etype", distinct_out="n_types", decay_out="decay",
+        half_life_s=600, last_n=3,
+    )
+    a = {r["rid"]: (r["n_types"], r["decay"]) for r in sep.collect()}
+    b = {r["rid"]: (r["n_types"], r["decay"]) for r in fused.collect()}
+    assert a == b
+    # the fused plan carries ONE collect_list and NO collect_set
+    # (AQE's toString repeats the plan under "== Initial Plan ==" —
+    # count only the final section)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "collect_set" not in final
+    assert final.count("collect_list") == 1
