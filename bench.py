@@ -211,6 +211,15 @@ def main() -> None:
     )
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
 
+    def _loadavg() -> list[float] | None:
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except Exception:
+            return None
+
+    load_before = _loadavg()
+
     # transcript feature-DAG throughput (north-rule metric)
     tp = args.transcripts_path
     marker = Path(tp) / "_ROWS"
@@ -272,19 +281,40 @@ def main() -> None:
 
         qs = E.queries()
         total = dag_sec
+        spreads = {}
         for name in HEADLINE:
-            el = float("inf")
+            runs = []
             for _ in range(BENCH_RUNS):
                 t0 = time.perf_counter()
                 _noop_write(qs[name](spark, args.sf_dir))
-                el = min(el, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
+            el = min(runs)
             result["queries"][name] = round(el, 3)
+            spreads[name] = round(max(runs) / max(el, 1e-9), 2)
             total += el
+        # weather guard (VERDICT r5 #4): a contended box inflates legs
+        # 1.5-2x uniformly with identical plans/shuffle bytes — record
+        # the per-leg best-vs-worst spread so a cold reader can tell
+        # box weather from a code regression without a re-run
+        result["leg_spread_max"] = max(spreads.values())
+        result["leg_spread_hot"] = {
+            k: v for k, v in sorted(spreads.items(), key=lambda kv: -kv[1])
+            if v >= 1.5
+        }
         result["queries"]["tr_feature_dag"] = round(dag_sec, 3)
         result["value"] = round(total, 3)
     else:
         result["value"] = round(dag_sec, 3)
         result["queries"]["tr_feature_dag"] = round(dag_sec, 3)
+
+    # weather stamps (VERDICT r5 #4): 1-min loadavg before/after. On a
+    # quiet box running ONLY this bench, load ≈ the bench's own workers;
+    # a before-load already near the core count means a contended run.
+    result["loadavg_before"] = load_before
+    result["loadavg_after"] = _loadavg()
+    spread = result.get("leg_spread_max", 1.0)
+    busy_before = bool(load_before) and load_before[0] > 8.0
+    result["weather_suspect"] = bool(busy_before or spread >= 2.0)
 
     line = json.dumps(result)
     print(line)

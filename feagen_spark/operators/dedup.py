@@ -420,51 +420,61 @@ def connected_components(
         raise ValueError(f"unknown connected_components method {method!r}")
     if target_partitions is not None:
         pairs = pairs.repartition(int(target_partitions))
+    from pyspark.sql import Observation
+
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    # LAZY checkpoints (VERDICT r5 #6): round 1 materializes both in
+    # its own job — same compute, two fewer driver-side actions than
+    # the eager init the loop used to pay before any propagation ran
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    def _label_sum(lb: DataFrame) -> int:
-        row = lb.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()
-        return int(row["s"] or 0)
-
-    def _propagate(lb: DataFrame) -> DataFrame:
+    def _propagate(lb: DataFrame, obs: Observation) -> DataFrame:
         nbr = (
             edges.join(lb, edges["d"] == lb["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
-        return lb.join(nbr, lb["id"] == nbr["s"], "left").select(
+        j = lb.join(nbr, lb["id"] == nbr["s"], "left")
+        # per-hop changed count rides the round job: nmin < label is
+        # EXACT fixpoint detection (labels only decrease), so the round
+        # that reaches the fixpoint proves it — no separate confirm
+        # round, unlike the old label-sum equality between rounds
+        j = j.observe(
+            obs,
+            F.sum(
+                F.when(F.col("nmin") < F.col("label"), 1).otherwise(0)
+            ).alias("c"),
+        )
+        return j.select(
             lb["id"],
             F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                 "label"
             ),
         )
 
-    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # TWO propagation hops per materialized round: each round's cost
         # at moderate scale is dominated by the fixed checkpoint +
         # convergence-check job latency, not the joins, so doubling the
         # hops halves the round count for the same per-round price
-        # (rounds needed ≈ diameter/2). The sum test stays sound: a
-        # converged labeling is a fixpoint of any number of hops.
-        labels = _propagate(_propagate(labels)).localCheckpoint()
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        # (rounds needed ≈ diameter/2). Convergence: if the LAST hop
+        # changed nothing, its input was already a fixpoint — done.
+        hop1_obs, obs = Observation(), Observation()
+        labels = _propagate(
+            _propagate(labels, hop1_obs), obs
+        ).localCheckpoint()
+        if int(obs.get["c"] or 0) == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -544,10 +554,26 @@ def _cc_star(
         re_hi = withm.select("hi", F.col("m").alias("lo"))
         return re_lo.union(re_hi).distinct()
 
+    from pyspark.sql import Observation
+
+    def _sig_metrics():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        )
+
     prev = _sig(e)
     for _ in range(max_iter):
-        e = _small(_large(e)).localCheckpoint()
-        cur = _sig(e)
+        # fixpoint signature rides the checkpoint job (VERDICT r5 #6):
+        # one action per half-round pair instead of checkpoint + agg
+        obs = Observation()
+        e = (
+            _small(_large(e))
+            .observe(obs, *_sig_metrics())
+            .localCheckpoint()
+        )
+        m = obs.get
+        cur = (int(m["n"]), int(m["h"] or 0))
         if cur == prev:
             break
         prev = cur
