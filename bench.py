@@ -295,8 +295,17 @@ def main() -> None:
         # weather guard (VERDICT r5 #4): a contended box inflates legs
         # 1.5-2x uniformly with identical plans/shuffle bytes — record
         # the per-leg best-vs-worst spread so a cold reader can tell
-        # box weather from a code regression without a re-run
-        result["leg_spread_max"] = max(spreads.values())
+        # box weather from a code regression without a re-run.
+        # Measured caveat (r6, two back-to-back runs of identical code):
+        # spread alone is a WEAK contention signal — on a contended box
+        # both runs inflate together (spread_max 3.43 contended vs 3.24
+        # quiet), while per-leg first-run JIT keeps some spreads high on
+        # a quiet box. Load is the discriminating signal (4.2 vs 0.4
+        # before-load on those same runs); spread still localizes WHICH
+        # legs swung.
+        vals = sorted(spreads.values())
+        result["leg_spread_max"] = vals[-1]
+        result["leg_spread_median"] = vals[len(vals) // 2]
         result["leg_spread_hot"] = {
             k: v for k, v in sorted(spreads.items(), key=lambda kv: -kv[1])
             if v >= 1.5
@@ -307,14 +316,18 @@ def main() -> None:
         result["value"] = round(dag_sec, 3)
         result["queries"]["tr_feature_dag"] = round(dag_sec, 3)
 
-    # weather stamps (VERDICT r5 #4): 1-min loadavg before/after. On a
-    # quiet box running ONLY this bench, load ≈ the bench's own workers;
-    # a before-load already near the core count means a contended run.
+    # weather stamps (VERDICT r5 #4): 1-min loadavg before/after. The
+    # bench's own workers drive load to ~7-8 by the end on a quiet box
+    # (measured), so the discriminating signals are: load ALREADY
+    # elevated at start, load far beyond own-workload at end, or a
+    # uniformly inflated spread median.
+    load_after = _loadavg()
     result["loadavg_before"] = load_before
-    result["loadavg_after"] = _loadavg()
-    spread = result.get("leg_spread_max", 1.0)
-    busy_before = bool(load_before) and load_before[0] > 8.0
-    result["weather_suspect"] = bool(busy_before or spread >= 2.0)
+    result["loadavg_after"] = load_after
+    busy_before = bool(load_before) and load_before[0] > 2.0
+    busy_after = bool(load_after) and load_after[0] > 12.0
+    med = result.get("leg_spread_median", 1.0)
+    result["weather_suspect"] = bool(busy_before or busy_after or med >= 1.5)
 
     line = json.dumps(result)
     print(line)
