@@ -1,0 +1,95 @@
+"""In-process coverage of the spark-submit runner's config stages
+(jobs/run_features.py) — the dist/spark-submit drive stays the
+integration check; these tests pin the stage LOGIC (config parsing,
+composite-id pack path, generated-feature len_col, budget invariants)
+without forking a JVM."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_runner():
+    spec = importlib.util.spec_from_file_location(
+        "run_features", REPO / "jobs" / "run_features.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_run_features_pack_stage(spark, tmp_path, monkeypatch, capsys):
+    """features → pack drive from a config file: the pack stage uses the
+    GENERATED text_len feature as the length, collapses the composite
+    (conv_id, turn_idx) key, and materializes packed text rows within
+    budget covering every turn exactly once."""
+    from feagen_spark.datagen.transcripts import transcripts
+
+    inp = str(tmp_path / "transcripts")
+    transcripts(spark, n_conv=12, giant_convs=1, giant_turns=60).write.parquet(inp)
+
+    out_path = str(tmp_path / "out")
+    packed_path = str(tmp_path / "packed")
+    cfg = tmp_path / "run.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: pack_stage_test",
+                f"input_path: {inp}",
+                'keys: ["conv_id", "turn_idx"]',
+                'features: ["text_len", "prev_role"]',
+                'pack: {"id_col": ["conv_id", "turn_idx"], '
+                '"len_col": "text_len", "payload_col": "text", '
+                f'"max_len": 512, "n_buckets": 4, '
+                f'"output_path": "{packed_path}"}}',
+                f"output_path: {out_path}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["run_features", "--config", str(cfg)])
+    _load_runner().main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+
+    n_turns = spark.read.parquet(inp).count()
+    packed = spark.read.parquet(packed_path)
+    rows = packed.collect()
+    assert summary["packed_rows"] == len(rows) > 0
+    # coverage: every turn lands in exactly one packed sequence
+    assert sum(r["n_docs"] for r in rows) == n_turns
+    for r in rows:
+        assert len(r["packed"]) == r["used_len"]
+        if not r["oversize"]:
+            assert r["used_len"] <= 512
+
+
+def test_chunk_then_pack_composition(spark):
+    """The oversize answer is upstream chunking (the docstring contract):
+    chunk_text splits over-budget docs, then pack_sequences over chunk
+    lengths yields ZERO oversize singletons and full coverage."""
+    from feagen_spark.operators.cleaning import chunk_text, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (200 + 997 * i % 4000)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_text(docs, chunk_chars=512, overlap=0).withColumn(
+        "chunk_id",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")),
+    ).withColumn("n_chars", F.length("chunk").cast("long"))
+    out = pack_sequences(
+        chunks, "chunk_id", "n_chars", max_len=512, n_buckets=2
+    ).collect()
+    assert len(out) == chunks.count()          # every chunk assigned
+    assert all(r["oversize"] == 0 for r in out)  # chunking removed oversize
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault(r["seq_uid"], []).append(r["n_chars"])
+    assert all(sum(v) <= 512 for v in by_seq.values())
