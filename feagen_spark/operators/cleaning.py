@@ -190,6 +190,65 @@ def _hash_bucket_multi(cols: list[F.Column], method: str, seed: int, mod: int) -
     raise ValueError(f"unknown method {method!r}")
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    method: str = "md5",
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample each stratum to a TOKEN budget (the curation step
+    between the mixture report and training: "200B tokens of web, 50B
+    of code, all of wiki"): per stratum s, keep a deterministic
+    hash-fraction of docs so expected kept tokens ≈ ``budgets[s]``;
+    strata whose total already fits keep everything; strata absent
+    from ``budgets`` drop (budget 0), like ``stratified_sample``.
+
+    Fully distributed — no driver-side collect: one map-side-combinable
+    groupBy computes per-stratum token totals (one row per stratum),
+    the budget table is a literal frame, and the fraction join is a
+    BROADCAST of that sketch-sized frame onto the corpus, followed by
+    the same content-hash keep rule every sampler in this module uses
+    (``_hash_bucket``): bit-stable across runs, layouts, cluster sizes
+    and retries; adding rows to one stratum never resamples another.
+
+    The budget is met in expectation over the hash draw (docs are kept
+    whole); per-stratum realized tokens concentrate tightly for any
+    stratum with many docs. Output: the kept rows plus a
+    ``keep_fraction`` audit column."""
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0: {budgets}")
+    spark = df.sparkSession
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("__total")
+    )
+    bdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(budgets.items())],
+        f"{strata_col} string, __budget double",
+    )
+    frac = (
+        totals.join(bdf, on=strata_col, how="inner")
+        .select(
+            strata_col,
+            # explicit case split: a zero budget drops the stratum, a
+            # stratum already within budget keeps everything (incl. the
+            # all-zero-token corner — no division by zero reachable)
+            F.when(F.col("__budget") <= 0, F.lit(0.0))
+            .when(F.col("__total") <= F.col("__budget"), F.lit(1.0))
+            .otherwise(F.col("__budget") / F.col("__total"))
+            .alias("keep_fraction"),
+        )
+    )
+    h = _hash_bucket(id_col, method, seed, 1_000_000)
+    return (
+        df.join(F.broadcast(frac), on=strata_col)
+        .where(h < F.round(F.col("keep_fraction") * 1_000_000))
+        .withColumn("keep_fraction", F.round("keep_fraction", 6))
+    )
+
+
 def deterministic_negatives(
     anchors: DataFrame,
     corpus: DataFrame,

@@ -463,3 +463,85 @@ if _HYP:
                 for off, ln in fills:
                     assert off == run
                     run += ln
+
+
+def test_sample_to_token_budget(spark):
+    """sample_to_token_budget (r6): per-stratum kept tokens ≈ budget,
+    within-budget strata keep everything, zero/absent budgets drop,
+    deterministic under repartition, keep decision is per-doc stable
+    when another stratum's budget changes."""
+    from feagen_spark.operators.cleaning import sample_to_token_budget
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("wiki"), F.lit("junk")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("source"),
+        (F.col("id") % 100 + 10).cast("long").alias("n_tok"),
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in df.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    budgets = {
+        "web": int(totals["web"] * 0.3),   # downsample to ~30%
+        "code": int(totals["code"] * 2),   # within budget: keep all
+        "wiki": 0,                          # explicit zero: drop
+        # junk absent: drop
+    }
+    out = sample_to_token_budget(df, "source", "n_tok", budgets)
+    kept = out.groupBy("source").agg(
+        F.sum("n_tok").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    by = {r["source"]: r for r in kept}
+    assert set(by) == {"web", "code"}  # wiki + junk dropped
+    assert by["code"]["t"] == totals["code"]  # kept whole
+    # web: realized tokens within ~15% of budget (hash-draw variance)
+    assert abs(by["web"]["t"] - budgets["web"]) / budgets["web"] < 0.15
+    # audit column present and sensible
+    fr = {r["source"]: r["keep_fraction"] for r in out.select(
+        "source", "keep_fraction").distinct().collect()}
+    assert fr["code"] == 1.0 and 0.2 < fr["web"] < 0.4
+
+    # layout determinism
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            df.repartition(13), "source", "n_tok", budgets
+        ).collect()
+    }
+    assert a == b
+
+    # cross-stratum independence: changing code's budget never touches
+    # the web keep-set
+    budgets2 = dict(budgets, code=int(totals["code"] * 0.5))
+    c = {
+        r["doc_id"]
+        for r in sample_to_token_budget(df, "source", "n_tok", budgets2)
+        .where(F.col("source") == "web").collect()
+    }
+    assert c == {x for x in a if x % 4 == 0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budgets"):
+        sample_to_token_budget(df, "source", "n_tok", {"web": -1})
+
+
+def test_sample_to_token_budget_broadcast_plan(spark):
+    """The fraction join must broadcast the sketch-sized per-stratum
+    frame — the corpus side stays map-only after one small aggregate."""
+    from feagen_spark.operators.cleaning import sample_to_token_budget
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.lit(10).cast("long").alias("n_tok"),
+    )
+    out = sample_to_token_budget(df, "source", "n_tok", {"web": 100})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final or "BroadcastExchange" in final
+    assert "SortMergeJoin" not in final
