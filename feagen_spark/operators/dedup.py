@@ -161,6 +161,7 @@ def minhash_signatures(
     text_col: str = "text",
     seed: int = 42,
     hash_mode: str = "xxh64",
+    dict_hash: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash: ONE groupBy over exploded shingles; the k
     mins are computed as k map-side-combinable aggregates (no UDF).
@@ -179,7 +180,21 @@ def minhash_signatures(
     ``hash_mode``: ``"xxh64"`` (default, fastest JVM hash) or ``"md5"``
     — engine-portable: h1/h2 are the first/second 8 hex chars of
     md5(seed || shingle), so an external engine (the DuckDB oracle, a
-    Trino/Flink consumer) can reproduce signatures bit-for-bit."""
+    Trino/Flink consumer) can reproduce signatures bit-for-bit.
+
+    ``dict_hash`` (default False): hash the DISTINCT shingle domain
+    once and broadcast-join the (h1, h2) pair back onto the exploded
+    shingle rows, instead of hashing every occurrence — bit-identical
+    output (min over a multiset == min over its support; tested). Char
+    n-gram domains are bounded by |charset|^n (the corpus volume grows
+    occurrences, not the domain), so the broadcast stays small at any
+    scale. OFF by default because it was measured SLOWER at sf0.1
+    (warm interleaved best-of-4, r6: signatures 0.92 s per-occurrence
+    vs 1.39 s dict; an earlier cold-JIT run had suggested the
+    opposite) — the distinct pass + broadcast probe costs more than
+    md5 on 3-char strings saves. The knob exists for genuinely
+    expensive hash functions or long shingles, where per-occurrence
+    hashing dominates; measure before enabling."""
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     if hash_mode == "md5":
         hx = F.md5(F.concat(F.lit(str(seed)), F.col("shingle")))
@@ -191,11 +206,25 @@ def minhash_signatures(
         h2 = base.bitwiseAND(F.lit(_MH_MASK))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    sh = sh.select(
-        id_col,
-        h1.alias("__h1"),
-        h2.bitwiseOR(F.lit(1)).alias("__h2"),
-    )
+    if dict_hash:
+        dic = (
+            sh.select("shingle")
+            .distinct()
+            .select(
+                "shingle",
+                h1.alias("__h1"),
+                h2.bitwiseOR(F.lit(1)).alias("__h2"),
+            )
+        )
+        sh = sh.join(F.broadcast(dic), on="shingle").select(
+            id_col, "__h1", "__h2"
+        )
+    else:
+        sh = sh.select(
+            id_col,
+            h1.alias("__h1"),
+            h2.bitwiseOR(F.lit(1)).alias("__h2"),
+        )
     mins = [
         F.min(
             (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(F.lit(_MH_MASK))
@@ -219,6 +248,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int | None = 500,
     hash_mode: str = "xxh64",
+    dict_hash: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-estimated Jaccard.
 
@@ -240,7 +270,7 @@ def minhash_lsh_pairs(
     r = k // bands
     sig = minhash_signatures(
         df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
-        hash_mode=hash_mode,
+        hash_mode=hash_mode, dict_hash=dict_hash,
     )
 
     # carry the signature THROUGH the band explode: the candidate join then

@@ -175,6 +175,16 @@ def test_minhash_estimate_close_to_exact(docs):
     assert abs(est[(1, 3)] - exact) < 0.2  # 64-perm estimator tolerance
 
 
+def test_minhash_dict_hash_bit_identical(docs):
+    # dict_hash hashes the DISTINCT shingle domain once and joins back;
+    # it must be bit-identical to per-occurrence hashing in both modes
+    # (min over a multiset == min over its support).
+    for mode in ("md5", "xxh64"):
+        a = D.minhash_signatures(docs, k=16, hash_mode=mode, dict_hash=True)
+        b = D.minhash_signatures(docs, k=16, hash_mode=mode, dict_hash=False)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, mode
+
+
 def test_simhash_near_dups(docs):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
