@@ -427,25 +427,25 @@ def q_ev_type_stats(spark, sf_dir):
     median + p90 (percentile == DuckDB quantile_cont) AND the
     semi-structured JSON extraction aggregate (events.props is a JSON
     string; get_json_object — JVM-side, no Python — feeds a relational
-    aggregate, the standard log-analytics schema-on-read shape). One
-    groupBy each, stitched on event_type."""
+    aggregate, the standard log-analytics schema-on-read shape). ONE
+    groupBy for all six aggregates (code-review r6: the previous
+    two-groupBy + inner-join stitch scanned events twice, added a join
+    exchange, and would null-reject an event_type=NULL group that the
+    single-GROUP-BY oracle keeps)."""
     ev = _events(spark, sf_dir)
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
-        F.count(F.lit(1)).alias("n"),
-    )
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    js = (
+    return (
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+            F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("k_sum"),
             F.round(F.avg("k"), 6).alias("k_avg"),
             F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt_50"),
         )
     )
-    return med.join(js, on="event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1169,16 +1169,24 @@ def q_ev_stream_decay(spark, sf_dir):
     )
     name = f"ev_stream_decay_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_decay_")
-    run_available_now(dec, name, ckpt, output_mode="update")
-    res = spark.table(name)
-    out = res.select(
-        "user_id",
-        _us(F.col("ts")).alias("ts_us"),
-        (F.round("value_decay", 4) + 0.0).alias("value_decay"),
-    )
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        # finally-cleanup (code-review r6): a failed drain/select must
+        # not leak the checkpoint dir or the uuid temp view into the
+        # session shared by every other query
+        run_available_now(dec, name, ckpt, output_mode="update")
+        res = spark.table(name)
+        out = res.select(
+            "user_id",
+            _us(F.col("ts")).alias("ts_us"),
+            (F.round("value_decay", 4) + 0.0).alias("value_decay"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 

@@ -208,8 +208,10 @@ def sample_to_token_budget(
 
     Fully distributed — no driver-side collect: one map-side-combinable
     groupBy computes per-stratum token totals (one row per stratum),
-    the budget table is a literal frame, and the fraction join is a
-    BROADCAST of that sketch-sized frame onto the corpus, followed by
+    the budget lookup is a literal when-chain over that sketch-sized
+    frame (works for any equatable strata type, same as
+    ``stratified_sample`` — code-review r6), and the fraction join is
+    a BROADCAST of it onto the corpus, followed by
     the same content-hash keep rule every sampler in this module uses
     (``_hash_bucket``): bit-stable across runs, layouts, cluster sizes
     and retries; adding rows to one stratum never resamples another.
@@ -220,16 +222,17 @@ def sample_to_token_budget(
     ``keep_fraction`` audit column."""
     if any(b < 0 for b in budgets.values()):
         raise ValueError(f"budgets must be >= 0: {budgets}")
-    spark = df.sparkSession
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(token_col).cast("double")).alias("__total")
     )
-    bdf = spark.createDataFrame(
-        [(k, float(v)) for k, v in sorted(budgets.items())],
-        f"{strata_col} string, __budget double",
-    )
+    bud = F.lit(None).cast("double")
+    for name, v in sorted(budgets.items()):
+        bud = F.when(F.col(strata_col) == F.lit(name), F.lit(float(v))).otherwise(
+            bud
+        )
     frac = (
-        totals.join(bdf, on=strata_col, how="inner")
+        totals.withColumn("__budget", bud)
+        .where(F.col("__budget").isNotNull())  # absent stratum -> drop
         .select(
             strata_col,
             # explicit case split: a zero budget drops the stratum, a
@@ -427,6 +430,16 @@ def pack_sequences(
         # column names that are not valid identifiers into positional
         # tuple fields, which would crash getattr deep in the worker
         # with an opaque error (ADVICE r5)
+        # explicit NULL contract BEFORE any numeric use: a nullable long
+        # arrives as float64+NaN, so int(lens.min()) would die with
+        # 'cannot convert float NaN to integer' deep in the worker
+        # (code-review r6) — the same opaque-error class the positional
+        # access below avoids
+        if pdf[id_col].isna().any() or pdf[len_col].isna().any():
+            raise ValueError(
+                f"pack_sequences: NULL in {id_col!r} or {len_col!r} — "
+                "ids and lengths must be non-null"
+            )
         ids = pdf[id_col].to_numpy()
         lens = pdf[len_col].to_numpy()
         if len(lens) and int(lens.min()) < 0:
@@ -501,7 +514,28 @@ def materialize_packed_sequences(
         F.col(len_col).alias("__ln"),
     )
     p = payload.select(id_col, payload_col)
-    j = a.join(p, on=id_col)
+    # LEFT join + loud null check, not an inner join (code-review r6):
+    # an assigned doc missing from the payload table would silently
+    # vanish from its packed sequence — n_docs/used_len are computed
+    # post-join, so they'd stay self-consistent and the max_len assert
+    # could never catch the hole. A NULL payload value violates the
+    # same contract and fails the same way.
+    j = a.join(p, on=id_col, how="left")
+    j = j.withColumn(
+        payload_col,
+        F.when(
+            F.col(payload_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "materialize_packed_sequences: no payload row "
+                        "(or NULL payload) for id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast(p.schema[payload_col].dataType),
+        ).otherwise(F.col(payload_col)),
+    )
     is_array = isinstance(p.schema[payload_col].dataType, ArrayType)
     # tie-break on id: zero-length docs can share an offset
     item = F.struct(

@@ -544,21 +544,34 @@ def _cc_star(
         .union(e0.select(F.col("d").alias("id")))
         .distinct()
     )
+    from pyspark.sql import Observation
+
+    # ONE definition of the order-independent edge-set signature,
+    # observed on every materializing job (code-review r6: a separate
+    # _sig() aggregate both duplicated these expressions — letting the
+    # two copies drift — and cost one extra full-plan action before
+    # the loop)
+    def _sig_metrics():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        )
+
+    def _sig_of(obs: Observation) -> tuple:
+        m = obs.get
+        return (int(m["n"]), int(m["h"] or 0))
+
+    obs0 = Observation()
     e = (
         e0.where(F.col("s") != F.col("d"))
         .select(
             F.greatest("s", "d").alias("hi"), F.least("s", "d").alias("lo")
         )
         .distinct()
+        .observe(obs0, *_sig_metrics())
         .localCheckpoint()
     )
-
-    def _sig(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (int(row["n"]), int(row["h"] or 0))
+    prev = _sig_of(obs0)
 
     def _large(edges: DataFrame) -> DataFrame:
         adj = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
@@ -584,15 +597,6 @@ def _cc_star(
         re_hi = withm.select("hi", F.col("m").alias("lo"))
         return re_lo.union(re_hi).distinct()
 
-    from pyspark.sql import Observation
-
-    def _sig_metrics():
-        return (
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        )
-
-    prev = _sig(e)
     for _ in range(max_iter):
         # fixpoint signature rides the checkpoint job (VERDICT r5 #6):
         # one action per half-round pair instead of checkpoint + agg
@@ -602,8 +606,7 @@ def _cc_star(
             .observe(obs, *_sig_metrics())
             .localCheckpoint()
         )
-        m = obs.get
-        cur = (int(m["n"]), int(m["h"] or 0))
+        cur = _sig_of(obs)
         if cur == prev:
             break
         prev = cur

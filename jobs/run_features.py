@@ -162,11 +162,18 @@ def main() -> None:
         idc = pk.get("id_col", "doc_id")
         if isinstance(idc, list):
             # composite keys collapse to one content-derived id (the
-            # pack hash needs a single column; ':'-joined string casts
-            # keep it deterministic and engine-portable)
+            # pack hash needs a single column). to_json(struct(...)),
+            # not concat_ws (code-review r6): a bare ':' join collides
+            # distinct tuples — ("a:b","c") vs ("a","b:c") — and
+            # concat_ws silently SKIPS a NULL component, so ("a",NULL)
+            # and ("a",) collapse too; JSON quoting/escaping keeps the
+            # id deterministic, injective, and engine-portable.
             src = src.withColumn(
                 "__pack_id",
-                F.concat_ws(":", *[F.col(c).cast("string") for c in idc]),
+                F.to_json(
+                    F.struct(*[F.col(c) for c in idc]),
+                    {"ignoreNullFields": "false"},
+                ),
             )
             idc = "__pack_id"
         rows_hint = pk.get("rows_hint")

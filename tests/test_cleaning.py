@@ -355,6 +355,67 @@ def test_materialize_packed_budget_violation_raises(spark):
         ).collect()
 
 
+def test_pack_sequences_rejects_null_lengths(spark):
+    """A NULL length must die with the contract message, not an opaque
+    'cannot convert float NaN to integer' in the worker (code-review
+    r6: nullable longs arrive in pandas as float64+NaN)."""
+    import pytest
+
+    from feagen_spark.operators.cleaning import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, None)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        pack_sequences(docs, "doc_id", "n_tok", max_len=1024, n_buckets=1).collect()
+
+
+def test_materialize_packed_missing_payload_raises(spark):
+    """An assigned doc with no payload row must fail loudly, never
+    silently vanish from its packed sequence (code-review r6: the old
+    inner join dropped it and n_docs/used_len stayed self-consistent,
+    so nothing downstream could catch the hole)."""
+    import pytest
+
+    from feagen_spark.operators.cleaning import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
+
+    payload = spark.createDataFrame(
+        [(1, [0] * 50), (2, [1] * 50)], "doc_id long, toks array<int>"
+    ).withColumn("n_tok", F.size("toks").cast("long"))
+    assign = pack_sequences(payload, "doc_id", "n_tok", max_len=256, n_buckets=1)
+    holey = payload.where(F.col("doc_id") != 2)
+    with pytest.raises(Exception, match="no payload row"):
+        materialize_packed_sequences(
+            assign, holey, "doc_id", "n_tok", "toks", max_len=256
+        ).collect()
+
+
+def test_sample_to_token_budget_int_strata(spark):
+    """Non-string strata columns work (code-review r6: the budget
+    lookup is a literal when-chain like stratified_sample, not a
+    hardcoded-string-schema frame)."""
+    from feagen_spark.operators.cleaning import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, i % 3, 100) for i in range(300)],
+        "doc_id long, source_id int, n_tok long",
+    )
+    out = sample_to_token_budget(
+        df, "source_id", "n_tok", {0: 5_000, 1: 100_000_000}
+    ).collect()
+    # stratum 1 fits its budget -> kept whole; stratum 2 absent -> dropped
+    by = {}
+    for r in out:
+        by.setdefault(r["source_id"], []).append(r)
+    assert len(by.get(1, [])) == 100
+    assert 2 not in by
+    # stratum 0: half the 10k total tokens -> a strict hash-subsample
+    assert 0 < len(by.get(0, [])) < 100
+
+
 def test_deterministic_negatives_md5_and_id_contract(spark):
     """r6: method='md5' (the oracle bridge) is deterministic and obeys
     the same invariants; NULL ids are rejected up front; and
