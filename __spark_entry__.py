@@ -590,8 +590,14 @@ def q_doc_profile(spark, sf_dir):
     """Per-doc corpus prep in one entry (r6, 50-entry artifact cap —
     VERDICT r5 #1 freed this slot for doc_negatives): the C13 text
     scalars (lengths, ratios, quality, lang id, fingerprint) PLUS the
-    exact-dedup keep flag and the deterministic train/val/test hash
-    split — all one row per document, joined on doc_id.
+    exact-dedup keep flag, the deterministic train/val/test hash split
+    and (r6) the reproducible global training-order rank
+    (cleaning.deterministic_shuffle, md5 mode — the DataFrame
+    zipWithIndex pattern: ONE range exchange reused by the count
+    branch, mapInPandas local ranks, broadcast offsets) — all one row
+    per document, joined on doc_id. The shuffle runs on the id
+    projection only: the rank is a function of ids, so the corpus text
+    never rides its range exchange.
 
     The profile side keeps the ``_docs()`` repartition (regex token
     scan is CPU-heavy over a single-row-group parquet); the dedup/split
@@ -600,7 +606,10 @@ def q_doc_profile(spark, sf_dir):
     more than it buys, measured 2.9× at sf0.1; at 100 TB it's a
     needless full-corpus shuffle). The stitch join exchanges scalars
     only."""
-    from feagen_spark.operators.cleaning import hash_split
+    from feagen_spark.operators.cleaning import (
+        deterministic_shuffle,
+        hash_split,
+    )
 
     d = TS.text_profile(_docs(spark, sf_dir))
     prof = d.select(
@@ -624,7 +633,10 @@ def q_doc_profile(spark, sf_dir):
         "split",
         F.coalesce("is_kept", F.lit(0)).cast("int").alias("is_kept"),
     )
-    return prof.join(keep_split, on="doc_id")
+    shuf = deterministic_shuffle(
+        docs.select("doc_id"), "doc_id", seed=42, method="md5"
+    ).select("doc_id", "shuffle_rank")
+    return prof.join(keep_split, on="doc_id").join(shuf, on="doc_id")
 
 
 def q_doc_dup_audit(spark, sf_dir):
@@ -779,11 +791,18 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 def q_emb_bundle(spark, sf_dir):
-    """Bundle op (A9/C15): embedding ++ [l2_norm, label] as one
-    array<double>, then EXPLODED to scalar (vec_id, pos, value) rows —
-    the driver's canonicalizer sorts result columns with pandas, which
-    cannot hash array cells; scalar rows keep the same values fully
-    hash-checkable (oracle twin: DuckDB parallel unnest)."""
+    """Bundle op (A9/C15) + int8 storage quantization (r6): embedding
+    ++ [l2_norm, label] as one array<double>, then EXPLODED to scalar
+    (vec_id, pos, value) rows — the driver's canonicalizer sorts result
+    columns with pandas, which cannot hash array cells; scalar rows
+    keep the same values fully hash-checkable (oracle twin: DuckDB
+    parallel unnest). Each embedding position also carries its
+    symmetric per-vector int8 code (`q8` — similarity.
+    quantize_embeddings, the 4x storage-compression path; NULL on the
+    appended norm/label tail), so the quantizer's exact integer codes
+    are part of the value hash."""
+    from feagen_spark.operators.similarity import quantize_embeddings
+
     emb = _embs(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
@@ -792,17 +811,26 @@ def q_emb_bundle(spark, sf_dir):
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )
     )
-    bundled = emb.select(
+    q = quantize_embeddings(emb, "embedding")
+    bundled = q.select(
         "vec_id",
         F.concat(
             # + 0.0 normalizes IEEE -0.0 to 0.0 (matches the oracle)
             F.transform("embedding", lambda x: F.round(x.cast("double"), 4) + 0.0),
             F.array(F.round(norm, 4) + 0.0, F.col("label").cast("double")),
         ).alias("features"),
+        F.concat(
+            "q_vec",
+            F.array(F.lit(None).cast("int"), F.lit(None).cast("int")),
+        ).alias("q8s"),
     )
-    return bundled.select(
-        "vec_id", F.posexplode("features").alias("pos", "value")
-    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "value")
+    z = F.posexplode(F.arrays_zip("features", "q8s"))
+    return bundled.select("vec_id", z.alias("pos", "zz")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("zz.features").alias("value"),
+        F.col("zz.q8s").alias("q8"),
+    )
 
 
 DOC_LANGS = ("de", "en", "es", "fr", "zh")
@@ -1865,7 +1893,10 @@ def oracle_sql() -> dict[str, str]:
                     WHEN b < 90 THEN 'val'
                     ELSE 'test' END AS split,
                CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS INT)
-                   AS is_kept
+                   AS is_kept,
+               CAST(row_number() OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS shuffle_rank
         FROM (
             SELECT *,
                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -2347,21 +2378,38 @@ def oracle_sql() -> dict[str, str]:
         FROM exact
     """
 
+    # q8: the int8 quantizer recomputed per element — scale captured as
+    # an outer column in the list lambda; ties-away-from-zero round()
+    # matches Spark's HALF_UP on both signs
     sql["emb_bundle"] = """
-        WITH bundled AS (
+        WITH base AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_max(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+            FROM embeddings
+        ), bundled AS (
             SELECT vec_id,
                    list_concat(
-                       list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 4) + 0.0),
+                       list_transform(e, x -> round(x, 4) + 0.0),
                        [round(sqrt(list_aggregate(
-                            list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                            list_transform(e, x -> x * x),
                             'sum')), 4) + 0.0,
                         CAST(label AS DOUBLE)]
-                   ) AS features
-            FROM embeddings
+                   ) AS features,
+                   list_concat(
+                       CASE WHEN scale > 0
+                            THEN list_transform(
+                                e, x -> CAST(round(x / scale * 127) AS INT))
+                            ELSE list_transform(e, x -> 0) END,
+                       [CAST(NULL AS INT), CAST(NULL AS INT)]
+                   ) AS q8s
+            FROM base
         )
         SELECT vec_id,
                CAST(unnest(range(0, len(features))) AS INT) AS pos,
-               unnest(features) AS value
+               unnest(features) AS value,
+               unnest(q8s) AS q8
         FROM bundled
     """
 

@@ -575,3 +575,110 @@ def materialize_packed_sequences(
             ).otherwise(F.col("used_len")),
         )
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_partitions: int | None = None,
+    method: str = "xxhash64",
+    rank_col: str | None = "shuffle_rank",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global training order: every run, layout and
+    cluster size yields the SAME permutation of the corpus for a given
+    ``seed`` (a new seed = a new epoch order). rand()-based shuffles
+    fail this — a retried task re-rolls — so the order is a pure
+    content hash: ``key = hash(seed, id)``, total order = (key, id).
+
+    Scalable shape (the DataFrame zipWithIndex pattern): ONE
+    ``repartitionByRange`` on the key (plus the range-boundary sampling
+    pass that implies) + ``sortWithinPartitions`` establishes the
+    global order physically; a global contiguous ``rank_col`` is then
+    derived WITHOUT a single-task global window — per-partition local
+    ranks via one running-counter ``mapInPandas`` (map-only, Arrow
+    batches), partition row-counts aggregated to a partition-count-
+    sized side table whose cumulative offsets broadcast-join back on
+    partition id. The big side is shuffled exactly once; both the rank
+    and the count branch read the SAME range exchange (ReusedExchange,
+    plan-asserted).
+
+    ``rank_col=None`` skips the rank machinery entirely and returns
+    the rows physically ordered — the right call when a writer
+    consumes the order directly (``df.write`` preserves per-file
+    order; file names enumerate the partition order).
+
+    method='md5' is the engine-portable bridge (key =
+    md5('{seed}:{id}') hex — any engine reproduces the permutation);
+    'xxhash64' is the faster JVM-only default. NULL ids are rejected
+    (they would sort together arbitrarily and break the contract).
+
+    NOTE: ranks are a property of the WHOLE corpus — adding or
+    removing rows renumbers later ranks by construction (unlike
+    ``hash_split``, which is per-row stable). Pin the corpus snapshot
+    first, then shuffle."""
+    import pandas as pd
+
+    cid = F.col(id_col)
+    guarded = F.when(
+        cid.isNull(),
+        F.raise_error(F.lit("deterministic_shuffle: NULL id")).cast(
+            df.schema[id_col].dataType
+        ),
+    ).otherwise(cid)
+    if method == "md5":
+        key = F.md5(F.concat(F.lit(f"{seed}:"), guarded.cast("string")))
+    elif method == "xxhash64":
+        key = F.xxhash64(F.lit(seed), guarded)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    keyed = df.withColumn(key_col, key)
+    # ALWAYS an explicit partition count (REPARTITION_BY_NUM): without
+    # it AQE may re-coalesce the shuffle read differently under the two
+    # consumers below, skewing spark_partition_id between the rank and
+    # the count branch
+    if not n_partitions:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    sorted_df = keyed.repartitionByRange(
+        n_partitions, F.col(key_col), cid
+    ).sortWithinPartitions(key_col, id_col)
+    if rank_col is None:
+        return sorted_df
+
+    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in with_pid.schema
+    )
+    out_schema = f"{fields}, `__local_rank` bigint"
+
+    def local_ranks(batches):
+        n = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__local_rank"] = range(n, n + len(pdf))
+            n += len(pdf)
+            yield pdf
+
+    ranked = with_pid.mapInPandas(local_ranks, schema=out_schema)
+    # Counts branch reads RANKED, not with_pid: mapInPandas is a
+    # pruning barrier, so both consumers share a byte-identical range
+    # exchange subtree and ReuseExchange fires — the corpus is shuffled
+    # ONCE (plan-asserted). Two independently-optimized exchanges would
+    # not just double the shuffle: each samples its own range
+    # boundaries, so the count branch could describe DIFFERENT
+    # partitions than the rank branch reads — corrupt ranks. Cost of
+    # the barrier: the within-partition sort + counter pass run twice
+    # over the reused shuffle files; the source scan does not.
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # the offsets window runs over n_partitions rows — single tiny task
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+    out = ranked.join(F.broadcast(offsets), on="__pid").withColumn(
+        rank_col, (F.col("__off") + F.col("__local_rank")).cast("long")
+    )
+    return out.drop("__pid", "__local_rank", "__off")

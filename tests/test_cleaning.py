@@ -606,3 +606,99 @@ def test_sample_to_token_budget_broadcast_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final or "BroadcastExchange" in final
     assert "SortMergeJoin" not in final
+
+
+# ---------------------------------------------------------------- shuffle
+
+
+def _shuffle_fixture(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_deterministic_shuffle_rank_matches_global_order(spark):
+    """Ranks must equal the position in the total order by (key, id) —
+    checked against a driver-side sort of the same hash keys."""
+    import hashlib
+
+    from feagen_spark.operators.cleaning import deterministic_shuffle
+
+    df = _shuffle_fixture(spark)
+    out = deterministic_shuffle(df, "doc_id", seed=7, method="md5",
+                                n_partitions=8)
+    got = {r["doc_id"]: r["shuffle_rank"] for r in out.collect()}
+    keys = sorted(
+        (hashlib.md5(f"7:{i}".encode()).hexdigest(), i) for i in range(500)
+    )
+    want = {i: pos for pos, (_, i) in enumerate(keys)}
+    assert got == want
+
+
+def test_deterministic_shuffle_stable_and_seed_sensitive(spark):
+    from feagen_spark.operators.cleaning import deterministic_shuffle
+
+    df = _shuffle_fixture(spark, 300)
+    a = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(df, "doc_id", seed=1).collect()}
+    # same seed, different physical layout -> identical permutation
+    b = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(df.repartition(13), "doc_id", seed=1)
+         .collect()}
+    assert a == b
+    # a new seed is a new epoch order
+    c = {r["doc_id"]: r["shuffle_rank"] for r in
+         deterministic_shuffle(df, "doc_id", seed=2).collect()}
+    assert a != c
+    # permutation: ranks are exactly 0..n-1
+    assert sorted(a.values()) == list(range(300))
+
+
+def test_deterministic_shuffle_order_only_mode_and_null_guard(spark):
+    import pytest
+
+    from feagen_spark.operators.cleaning import deterministic_shuffle
+
+    df = _shuffle_fixture(spark, 100)
+    ordered = deterministic_shuffle(df, "doc_id", seed=3, rank_col=None)
+    assert "shuffle_rank" not in ordered.columns
+    # physical order within each partition follows the key
+    rows = ordered.select("shuffle_key").collect()
+    ranked = deterministic_shuffle(df, "doc_id", seed=3)
+    keys_by_rank = [
+        r["shuffle_key"]
+        for r in ranked.orderBy("shuffle_rank").select("shuffle_key").collect()
+    ]
+    assert sorted(r["shuffle_key"] for r in rows) == keys_by_rank
+
+    bad = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    # the guard fires inside stage materialization → wrapped Java error
+    with pytest.raises(Exception, match="NULL id"):
+        deterministic_shuffle(bad, "doc_id").collect()
+
+
+def test_deterministic_shuffle_plan_one_data_exchange(spark):
+    """The corpus is shuffled exactly once: one range exchange, reused
+    by the count branch (ReusedExchange), offsets broadcast back — no
+    second wide exchange of the payload, no single-task global sort."""
+    from feagen_spark.operators.cleaning import deterministic_shuffle
+
+    import re
+
+    df = _shuffle_fixture(spark, 1000)
+    out = deterministic_shuffle(df, "doc_id", seed=5, n_partitions=8)
+    out.collect()  # AQE resolves exchange reuse at runtime — execute first
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly ONE materialized range exchange; the count branch must
+    # read it via ReusedExchange (two independent exchanges would each
+    # sample their own range boundaries — corrupt ranks, see operator)
+    own_node = re.findall(r"[+:]- Exchange rangepartitioning", final)
+    assert len(own_node) == 1, final
+    assert "ReusedExchange" in final, final
+    assert "BroadcastExchange" in final or "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    # the payload (text) must never ride a hash exchange
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
+        assert "text" not in m.group(1), final

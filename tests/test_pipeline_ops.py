@@ -975,3 +975,76 @@ if _HYP:
             matched_events = {e for e, _ in want}
             null_events = {e for e, i in rows if i is None}
             assert null_events == set(range(len(events))) - matched_events
+
+
+def test_quantize_embeddings_roundtrip_and_edge_cases(spark, vectors):
+    """int8 codes: |code| <= 127, scale = max|v|, reconstruction error
+    bounded by scale/254 per element; zero/empty/NULL vectors safe."""
+    from feagen_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df, base = vectors
+    q = quantize_embeddings(df, "embedding")
+    out = dequantize_embeddings(q).orderBy("vec_id").collect()
+    for r in out:
+        v = np.asarray(r["embedding"], dtype="float64")
+        codes = np.asarray(r["q_vec"])
+        scale = r["q_scale"]
+        assert scale == pytest.approx(float(np.abs(v).max()))
+        assert np.abs(codes).max() <= 127
+        err = np.abs(np.asarray(r["deq_vec"]) - v)
+        assert err.max() <= scale / 254 + 1e-12
+    # exact integer codes match the definition
+    want = np.round(
+        np.asarray(out[0]["embedding"], dtype="float64")
+        / out[0]["q_scale"] * 127
+    ).astype("int64")
+    assert list(want) == list(out[0]["q_vec"])
+
+    edge = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, []), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(edge, "embedding").collect()}
+    assert rows[1]["q_scale"] == 0.0 and rows[1]["q_vec"] == [0, 0]
+    assert rows[2]["q_scale"] == 0.0 and rows[2]["q_vec"] == []
+    assert rows[3]["q_scale"] is None and rows[3]["q_vec"] is None
+
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, "embedding", bits=1)
+
+
+def test_quantize_embeddings_stays_jvm_map_only(vectors):
+    """Quantization is storage-path code: it must compile to a map-only
+    JVM plan — no Exchange, no Python workers (higher-order functions
+    only)."""
+    from feagen_spark.operators.similarity import quantize_embeddings
+
+    df, _ = vectors
+    out = quantize_embeddings(df, "embedding")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in final, final
+
+
+def test_quantized_cosine_preserves_neighbor_ranking(vectors):
+    """The point of int8 storage: top-1 cosine neighbors survive
+    quantization for well-separated vectors (the planted near-dup pair
+    must still find each other through the codes)."""
+    from feagen_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df, base = vectors
+    deq = dequantize_embeddings(quantize_embeddings(df, "embedding"))
+    rec = {r["vec_id"]: np.asarray(r["deq_vec"]) for r in deq.collect()}
+    m = np.stack([rec[i] for i in range(40)])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    assert sims[2].argmax() == 13 and sims[13].argmax() == 2
