@@ -593,8 +593,8 @@ def q_doc_profile(spark, sf_dir):
     exact-dedup keep flag, the deterministic train/val/test hash split
     and (r6) the reproducible global training-order rank
     (cleaning.deterministic_shuffle, md5 mode — the DataFrame
-    zipWithIndex pattern: ONE range exchange reused by the count
-    branch, mapInPandas local ranks, broadcast offsets) — all one row
+    zipWithIndex pattern: ONE pinned range exchange, pure-JVM mono-id
+    local ranks, broadcast offsets) — all one row
     per document, joined on doc_id. The shuffle runs on the id
     projection only: the rank is a function of ids, so the corpus text
     never rides its range exchange.

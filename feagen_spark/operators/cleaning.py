@@ -596,13 +596,18 @@ def deterministic_shuffle(
     ``repartitionByRange`` on the key (plus the range-boundary sampling
     pass that implies) + ``sortWithinPartitions`` establishes the
     global order physically; a global contiguous ``rank_col`` is then
-    derived WITHOUT a single-task global window — per-partition local
-    ranks via one running-counter ``mapInPandas`` (map-only, Arrow
-    batches), partition row-counts aggregated to a partition-count-
-    sized side table whose cumulative offsets broadcast-join back on
-    partition id. The big side is shuffled exactly once; both the rank
-    and the count branch read the SAME range exchange (ReusedExchange,
-    plan-asserted).
+    derived WITHOUT a single-task global window and WITHOUT Python in
+    the path — ``monotonically_increasing_id()`` over the sorted
+    partitions encodes (partition id, in-partition ordinal) in pure
+    JVM, partition row-counts aggregate to a partition-count-sized
+    side table whose cumulative offsets broadcast-join back on
+    partition id. The sorted+numbered frame is pinned with a lazy
+    ``localCheckpoint`` so the rank and the count branch read the SAME
+    materialization: two independently-executed range exchanges would
+    each sample their own range boundaries, and the count branch could
+    describe partitions the rank branch never read — corrupt ranks. (A
+    lost checkpoint partition fails the job loudly rather than
+    silently recomputing into a different numbering.)
 
     ``rank_col=None`` skips the rank machinery entirely and returns
     the rows physically ordered — the right call when a writer
@@ -618,8 +623,6 @@ def deterministic_shuffle(
     removing rows renumbers later ranks by construction (unlike
     ``hash_split``, which is per-row stable). Pin the corpus snapshot
     first, then shuffle."""
-    import pandas as pd
-
     cid = F.col(id_col)
     guarded = F.when(
         cid.isNull(),
@@ -648,30 +651,20 @@ def deterministic_shuffle(
     if rank_col is None:
         return sorted_df
 
-    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
-    fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in with_pid.schema
+    # mono id = pid·2³³ + in-partition ordinal, assigned in the sorted
+    # physical row order — pure JVM, no window, no Python. The lazy
+    # localCheckpoint pins the numbering so both consumers below read
+    # one materialization (see docstring).
+    ranked = (
+        sorted_df.withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+        .withColumn(
+            "__pid", F.shiftrightunsigned("__mid", 33).cast("int")
+        )
+        .withColumn(
+            "__local_rank", F.col("__mid").bitwiseAND(F.lit(2**33 - 1))
+        )
     )
-    out_schema = f"{fields}, `__local_rank` bigint"
-
-    def local_ranks(batches):
-        n = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__local_rank"] = range(n, n + len(pdf))
-            n += len(pdf)
-            yield pdf
-
-    ranked = with_pid.mapInPandas(local_ranks, schema=out_schema)
-    # Counts branch reads RANKED, not with_pid: mapInPandas is a
-    # pruning barrier, so both consumers share a byte-identical range
-    # exchange subtree and ReuseExchange fires — the corpus is shuffled
-    # ONCE (plan-asserted). Two independently-optimized exchanges would
-    # not just double the shuffle: each samples its own range
-    # boundaries, so the count branch could describe DIFFERENT
-    # partitions than the rank branch reads — corrupt ranks. Cost of
-    # the barrier: the within-partition sort + counter pass run twice
-    # over the reused shuffle files; the source scan does not.
     counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     # the offsets window runs over n_partitions rows — single tiny task
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -681,4 +674,4 @@ def deterministic_shuffle(
     out = ranked.join(F.broadcast(offsets), on="__pid").withColumn(
         rank_col, (F.col("__off") + F.col("__local_rank")).cast("long")
     )
-    return out.drop("__pid", "__local_rank", "__off")
+    return out.drop("__pid", "__mid", "__local_rank", "__off")

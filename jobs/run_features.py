@@ -44,6 +44,28 @@ def load_config(path: str) -> dict:
     return cfg
 
 
+def _single_id(src, idc, out_name: str):
+    """Collapse a composite key list to one content-derived id column
+    (the pack/order hashes need a single column). to_json(struct(...)),
+    not concat_ws (code-review r6): a bare ':' join collides distinct
+    tuples — ("a:b","c") vs ("a","b:c") — and concat_ws silently SKIPS
+    a NULL component, so ("a",NULL) and ("a",) collapse too; JSON
+    quoting/escaping keeps the id deterministic, injective, and
+    engine-portable."""
+    if not isinstance(idc, list):
+        return src, idc
+    from pyspark.sql import functions as F
+
+    src = src.withColumn(
+        out_name,
+        F.to_json(
+            F.struct(*[F.col(c) for c in idc]),
+            {"ignoreNullFields": "false"},
+        ),
+    )
+    return src, out_name
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -151,31 +173,12 @@ def main() -> None:
     packed_rows = None
     pk = cfg.get("pack")
     if pk:
-        from pyspark.sql import functions as F
-
         from feagen_spark.operators.cleaning import (
             materialize_packed_sequences,
             pack_sequences,
         )
 
-        src = out
-        idc = pk.get("id_col", "doc_id")
-        if isinstance(idc, list):
-            # composite keys collapse to one content-derived id (the
-            # pack hash needs a single column). to_json(struct(...)),
-            # not concat_ws (code-review r6): a bare ':' join collides
-            # distinct tuples — ("a:b","c") vs ("a","b:c") — and
-            # concat_ws silently SKIPS a NULL component, so ("a",NULL)
-            # and ("a",) collapse too; JSON quoting/escaping keeps the
-            # id deterministic, injective, and engine-portable.
-            src = src.withColumn(
-                "__pack_id",
-                F.to_json(
-                    F.struct(*[F.col(c) for c in idc]),
-                    {"ignoreNullFields": "false"},
-                ),
-            )
-            idc = "__pack_id"
+        src, idc = _single_id(out, pk.get("id_col", "doc_id"), "__pack_id")
         rows_hint = pk.get("rows_hint")
         assign = pack_sequences(
             src,
@@ -197,6 +200,34 @@ def main() -> None:
             )
         res.write.mode(pk.get("mode", "overwrite")).parquet(pk["output_path"])
         packed_rows = spark.read.parquet(pk["output_path"]).count()
+
+    # order stage (r6): reproducible global training order — write the
+    # feature table physically permuted by the epoch's content-hash
+    # order (cleaning.deterministic_shuffle). Default is the order-only
+    # writer mode (file/row order IS the permutation; one range
+    # shuffle, no rank machinery); `"rank": True` adds the explicit
+    # contiguous global position column. `"seed"` is the epoch number —
+    # bump it for a fresh permutation of the same snapshot.
+    ordered_rows = None
+    od = cfg.get("order")
+    if od:
+        from feagen_spark.operators.cleaning import deterministic_shuffle
+
+        osrc, oid = _single_id(out, od.get("id_col", "doc_id"), "__order_id")
+        shuffled = deterministic_shuffle(
+            osrc,
+            id_col=oid,
+            seed=int(od.get("seed", 42)),
+            n_partitions=(
+                int(od["n_partitions"]) if od.get("n_partitions") else None
+            ),
+            method=od.get("method", "xxhash64"),
+            rank_col="shuffle_rank" if od.get("rank") else None,
+        )
+        shuffled.write.mode(od.get("mode", "overwrite")).parquet(
+            od["output_path"]
+        )
+        ordered_rows = spark.read.parquet(od["output_path"]).count()
 
     if cfg.get("bundle_structure"):
         structure = (
@@ -228,6 +259,7 @@ def main() -> None:
                 "output": out_path,
                 "backfill_rows": backfill_rows,
                 "packed_rows": packed_rows,
+                "ordered_rows": ordered_rows,
             }
         )
     )

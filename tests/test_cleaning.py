@@ -678,27 +678,34 @@ def test_deterministic_shuffle_order_only_mode_and_null_guard(spark):
         deterministic_shuffle(bad, "doc_id").collect()
 
 
-def test_deterministic_shuffle_plan_one_data_exchange(spark):
-    """The corpus is shuffled exactly once: one range exchange, reused
-    by the count branch (ReusedExchange), offsets broadcast back — no
-    second wide exchange of the payload, no single-task global sort."""
-    from feagen_spark.operators.cleaning import deterministic_shuffle
-
+def test_deterministic_shuffle_plan_pinned_and_jvm_only(spark):
+    """The rank path is pure JVM (no Python workers) and both the rank
+    and the count branch must read the PINNED localCheckpoint of the
+    one range shuffle — a visible rangepartitioning exchange in the
+    final plan would mean a branch re-executes the shuffle and could
+    sample different range boundaries (corrupt ranks, see operator).
+    Offsets come back broadcast; the payload never rides a hash
+    exchange."""
     import re
+
+    from feagen_spark.operators.cleaning import deterministic_shuffle
 
     df = _shuffle_fixture(spark, 1000)
     out = deterministic_shuffle(df, "doc_id", seed=5, n_partitions=8)
-    out.collect()  # AQE resolves exchange reuse at runtime — execute first
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    # exactly ONE materialized range exchange; the count branch must
-    # read it via ReusedExchange (two independent exchanges would each
-    # sample their own range boundaries — corrupt ranks, see operator)
-    own_node = re.findall(r"[+:]- Exchange rangepartitioning", final)
-    assert len(own_node) == 1, final
-    assert "ReusedExchange" in final, final
+    # both branches read the checkpointed RDD, not a re-derived shuffle
+    assert "Exchange rangepartitioning" not in final, final
+    assert "ExistingRDD" in final or "LogicalRDD" in final, final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in final, final
     assert "BroadcastExchange" in final or "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
     # the payload (text) must never ride a hash exchange
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
         assert "text" not in m.group(1), final
+    # and the order-only mode compiles to exactly the one range shuffle
+    ordered = deterministic_shuffle(df, "doc_id", seed=5, rank_col=None)
+    oplan = ordered._jdf.queryExecution().executedPlan().toString()
+    ofinal = oplan.split("== Initial Plan ==")[0]
+    assert ofinal.count("Exchange rangepartitioning") == 1, ofinal

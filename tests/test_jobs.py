@@ -93,3 +93,55 @@ def test_chunk_then_pack_composition(spark):
     for r in out:
         by_seq.setdefault(r["seq_uid"], []).append(r["n_chars"])
     assert all(sum(v) <= 512 for v in by_seq.values())
+
+
+def test_run_features_order_stage(spark, tmp_path, monkeypatch, capsys):
+    """features → order drive: the order stage collapses the composite
+    key, emits a contiguous 0..n-1 global rank, and the permutation
+    matches the md5 content-hash order recomputed driver-side."""
+    import hashlib
+
+    from feagen_spark.datagen.transcripts import transcripts
+
+    inp = str(tmp_path / "transcripts")
+    transcripts(spark, n_conv=8).write.parquet(inp)
+
+    out_path = str(tmp_path / "out")
+    ordered_path = str(tmp_path / "ordered")
+    cfg = tmp_path / "run.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: order_stage_test",
+                f"input_path: {inp}",
+                'keys: ["conv_id", "turn_idx"]',
+                'features: ["text_len"]',
+                'order: {"id_col": ["conv_id", "turn_idx"], "seed": 3, '
+                '"rank": True, "method": "md5", "n_partitions": 4, '
+                f'"output_path": "{ordered_path}"}}',
+                f"output_path: {out_path}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["run_features", "--config", str(cfg)])
+    _load_runner().main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+
+    n_turns = spark.read.parquet(inp).count()
+    assert summary["ordered_rows"] == n_turns
+    rows = spark.read.parquet(ordered_path).select(
+        "__order_id", "shuffle_rank"
+    ).collect()
+    assert sorted(r["shuffle_rank"] for r in rows) == list(range(n_turns))
+    want = {
+        oid: pos
+        for pos, (_, oid) in enumerate(
+            sorted(
+                (hashlib.md5(f"3:{r['__order_id']}".encode()).hexdigest(),
+                 r["__order_id"])
+                for r in rows
+            )
+        )
+    }
+    assert all(want[r["__order_id"]] == r["shuffle_rank"] for r in rows)

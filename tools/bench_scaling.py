@@ -28,8 +28,29 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def cooldown(max_wait_s: int = 300, target: float = 1.0) -> float:
+    """Inter-leg settle gate (r6): a local[32] leg leaves a 20+ loadavg
+    thread storm and CPU-credit debt behind; without a settle the NEXT
+    leg inherits it — the r6 re-measure caught a level-8 rep starting
+    at loadavg 15.9, which alone drags eff(2→8) below the bar. Wait
+    until the 1-min loadavg drops under ``target`` (capped), so every
+    JVM starts from a comparable box state; pairing still covers the
+    slow drift this gate cannot see (credit throttle)."""
+    t0 = time.time()
+    time.sleep(20)  # let the 1-min average begin to decay
+    while time.time() - t0 < max_wait_s:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < target:
+            break
+        time.sleep(15)
+    return time.time() - t0
+
+
 def run_level(cores: int, tp: str, n_conv: int, giant_turns: int) -> dict:
     out = REPO / f"BENCH/_last_{cores}.json"
+    waited = cooldown()
+    print(f"  [cooldown {waited:.0f}s before local[{cores}]]", flush=True)
     cmd = [
         sys.executable, str(REPO / "bench.py"),
         "--feature-dag-only",
@@ -114,11 +135,13 @@ SAME 64-file parquet input ({rows:,} transcript turns, skewed: 3 giant
 conversations of {args.giant_turns:,} turns) at two parallelism levels.
 
 Protocol: shared-VM throughput drifts over minutes, so each trial is a
-PAIRED round-trip of all three levels back-to-back (fresh JVM each,
-48g heap, in-JVM best-of-3), with the level ORDER alternating between
-ascending and descending across pairs so drift cannot systematically
-land on one level; efficiency is the median of the within-pair ratios
-over {args.pairs} pairs.
+PAIRED round-trip of all three levels (fresh JVM each, 48g heap,
+in-JVM best-of-3), with the level ORDER alternating between ascending
+and descending across pairs so drift cannot systematically land on one
+level, and a loadavg-gated settle before EVERY leg (<=300s, until
+1-min load < 1) so no leg inherits the previous leg's thread storm;
+efficiency is the median of the within-pair ratios over {args.pairs}
+pairs.
 
 Job: full golden feature DAG (12 features: lag/lead, rolling row+time
 frames, cumulative, sessionization, session-scoped, text scalars) via
