@@ -637,10 +637,11 @@ def deterministic_shuffle(
     else:
         raise ValueError(f"unknown method {method!r}")
     keyed = df.withColumn(key_col, key)
-    # ALWAYS an explicit partition count (REPARTITION_BY_NUM): without
-    # it AQE may re-coalesce the shuffle read differently under the two
-    # consumers below, skewing spark_partition_id between the rank and
-    # the count branch
+    # Explicit partition count (REPARTITION_BY_NUM): ranks are
+    # layout-invariant (the checkpoint pins one numbering and rank =
+    # global order position), but a pinned N keeps the partition/file
+    # layout itself deterministic instead of AQE-advisory — order-only
+    # writer output should not change file boundaries run to run
     if not n_partitions:
         n_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
