@@ -820,7 +820,9 @@ def q_emb_bundle(spark, sf_dir):
             F.array(F.round(norm, 4) + 0.0, F.col("label").cast("double")),
         ).alias("features"),
         F.concat(
-            "q_vec",
+            # operator codes are tinyint (real int8 storage width);
+            # widen to int for the driver artifact (oracle INT twin)
+            F.col("q_vec").cast("array<int>"),
             F.array(F.lit(None).cast("int"), F.lit(None).cast("int")),
         ).alias("q8s"),
     )

@@ -667,6 +667,23 @@ def deterministic_shuffle(
         )
     )
     counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # mono-id ordinals live in 33 bits: a partition at >= 2^33 rows
+    # would overflow into the pid bits and SILENTLY corrupt ranks —
+    # the already-computed counts branch detects that for free and
+    # fails loudly instead (code-review r6; the first overflowing
+    # partition always surfaces as an exact-2^33 count)
+    counts = counts.withColumn(
+        "__n",
+        F.when(
+            F.col("__n") >= F.lit(2**33),
+            F.raise_error(
+                F.lit(
+                    "deterministic_shuffle: a range partition holds >= 2^33 "
+                    "rows — raise n_partitions"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__n")),
+    )
     # the offsets window runs over n_partitions rows — single tiny task
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -88,19 +88,29 @@ def corpus_diff(
     and the interesting classes are the small ones; the summary
     ``groupBy(status).count()`` is map-combinable either way.
 
+    Presence is tracked by an explicit per-side flag, NOT by
+    fingerprint nullness (code-review r6): a doc present in both
+    snapshots with a NULL fingerprint on one side (add_fingerprint
+    over NULL text) must classify as changed, not added/removed;
+    fingerprints compare null-safely, so NULL vs NULL is unchanged.
+
     Output: (id, status, old_fingerprint, new_fingerprint)."""
     o = old.select(
-        F.col(id_col), F.col(fingerprint_col).alias("old_fingerprint")
+        F.col(id_col),
+        F.col(fingerprint_col).alias("old_fingerprint"),
+        F.lit(1).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col), F.col(fingerprint_col).alias("new_fingerprint")
+        F.col(id_col),
+        F.col(fingerprint_col).alias("new_fingerprint"),
+        F.lit(1).alias("__in_new"),
     )
     j = o.join(n, on=id_col, how="full_outer")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(
-            F.col("old_fingerprint") != F.col("new_fingerprint"),
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
             F.lit("changed"),
         )
         .otherwise(F.lit("unchanged"))

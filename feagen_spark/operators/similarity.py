@@ -558,23 +558,36 @@ def quantize_embeddings(
     away-from-zero rounding of Spark's round() matches DuckDB/ANSI).
 
     Zero and empty vectors get scale 0.0 and all-zero codes (NULL-safe:
-    a NULL vector stays NULL). Dequantize with
+    a NULL vector stays NULL). A NaN or Infinity element fails LOUDLY
+    with a named error (code-review r6): NaN passes a bare `scale > 0`
+    gate in Spark's ordering, the codes would all become NaN, and the
+    ANSI int cast would kill the job with a cryptic CAST_INVALID_INPUT
+    instead. Codes are sized to the narrowest integer type that holds
+    qmax (tinyint for int8 — the advertised 4x storage win is real at
+    the schema level, not just numerically). Dequantize with
     ``dequantize_embeddings`` (same conventions, one definition each
     way)."""
     if not 2 <= bits <= 32:
         raise ValueError(f"bits must be in [2, 32]: {bits}")
     qmax = 2 ** (bits - 1) - 1
+    code_t = "tinyint" if bits <= 8 else ("smallint" if bits <= 16 else "int")
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.coalesce(scale, F.lit(0.0))  # empty array -> 0.0
+    scale = F.when(
+        F.isnan(scale) | (scale == F.lit(float("inf"))),
+        F.raise_error(
+            F.lit("quantize_embeddings: non-finite embedding element")
+        ).cast("double"),
+    ).otherwise(scale)
     codes = F.when(
         F.col(scale_col) > 0,
         F.transform(
             v,
             lambda x: F.round(x.cast("double") / F.col(scale_col) * qmax)
-            .cast("int"),
+            .cast(code_t),
         ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast(code_t)))
     return df.withColumn(
         scale_col, F.when(v.isNotNull(), scale)
     ).withColumn(out_col, codes)

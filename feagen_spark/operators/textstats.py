@@ -353,3 +353,44 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = add_lang_id(df, text_col)
     df = add_fingerprint(df, text_col)
     return df.drop("__padded")
+
+
+def hash_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 2**15,
+    out_col: str = "token_ids",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Feature-hashing tokenizer: text → array<int> of token ids with
+    NO trained vocabulary — ``id = hash(token) mod vocab_size`` (the
+    hashing trick; collisions are the accepted trade for a stateless,
+    cluster-size-independent, retrain-free id space). This is the step
+    that turns the chunk→pack→materialize chain into an end-to-end
+    text → packed-token-id pipeline when no external tokenizer model
+    ships with the job: use ``len_col = size(token_ids)`` for
+    ``pack_sequences`` and ``payload_col = token_ids`` for
+    ``materialize_packed_sequences``.
+
+    Pure JVM map-only (split + transform higher-order function — no
+    Python workers, no shuffle, whole-stage codegen). Tokenization is
+    the shared ``_ws_tokens`` definition (lower/trim/RE2-whitespace),
+    so counts line up with ``add_token_count`` family. method='md5' is
+    the engine-portable bridge (first 8 hex chars → uint32 mod vocab,
+    reproducible in any SQL engine); 'xxhash64' is the faster JVM
+    default. Ids are non-negative; NULL text yields NULL."""
+    if vocab_size < 2 or vocab_size > 2**31 - 1:
+        raise ValueError(f"vocab_size out of range: {vocab_size}")
+    toks = _ws_tokens(F.col(text_col))
+    if method == "md5":
+        tid = lambda t: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(vocab_size),
+        ).cast("int")
+    elif method == "xxhash64":
+        tid = lambda t: F.pmod(  # noqa: E731
+            F.xxhash64(t), F.lit(vocab_size)
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return df.withColumn(out_col, F.transform(toks, tid))

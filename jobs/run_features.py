@@ -224,9 +224,11 @@ def main() -> None:
             method=od.get("method", "xxhash64"),
             rank_col="shuffle_rank" if od.get("rank") else None,
         )
-        shuffled.write.mode(od.get("mode", "overwrite")).parquet(
-            od["output_path"]
-        )
+        # the hash key is derivable noise at artifact scale — never
+        # persist it (code-review r6)
+        shuffled.drop("shuffle_key").write.mode(
+            od.get("mode", "overwrite")
+        ).parquet(od["output_path"])
         ordered_rows = spark.read.parquet(od["output_path"]).count()
 
     if cfg.get("bundle_structure"):

@@ -663,14 +663,17 @@ def test_deterministic_shuffle_order_only_mode_and_null_guard(spark):
     df = _shuffle_fixture(spark, 100)
     ordered = deterministic_shuffle(df, "doc_id", seed=3, rank_col=None)
     assert "shuffle_rank" not in ordered.columns
-    # physical order within each partition follows the key
-    rows = ordered.select("shuffle_key").collect()
+    # collect() returns range partitions in boundary order and rows in
+    # their in-partition sort order, so the PHYSICAL row order must
+    # equal the rank order exactly (no re-sort on the left — a sorted
+    # comparison would pass for any layout, code-review r6)
+    rows = [r["shuffle_key"] for r in ordered.select("shuffle_key").collect()]
     ranked = deterministic_shuffle(df, "doc_id", seed=3)
     keys_by_rank = [
         r["shuffle_key"]
         for r in ranked.orderBy("shuffle_rank").select("shuffle_key").collect()
     ]
-    assert sorted(r["shuffle_key"] for r in rows) == keys_by_rank
+    assert rows == keys_by_rank
 
     bad = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
     # the guard fires inside stage materialization → wrapped Java error

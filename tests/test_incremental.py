@@ -119,3 +119,24 @@ def test_corpus_diff_classifies_and_ships_digests_only(spark):
     final = plan.split("== Initial Plan ==")[0]
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", final):
         assert "text" not in m.group(1), final
+
+
+def test_corpus_diff_null_fingerprints_classify_by_presence(spark):
+    """Presence flags, not fingerprint nullness, decide added/removed:
+    a doc present in both snapshots with a NULL fingerprint on one
+    side is CHANGED; NULL on both sides is unchanged (code-review r6)."""
+    from feagen_spark.operators.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "h2"), (3, None)],
+        "doc_id long, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [(1, "h1x"), (2, None), (3, None)],
+        "doc_id long, fingerprint string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, include_unchanged=True).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

@@ -1048,3 +1048,88 @@ def test_quantized_cosine_preserves_neighbor_ranking(vectors):
     sims = mn @ mn.T
     np.fill_diagonal(sims, -np.inf)
     assert sims[2].argmax() == 13 and sims[13].argmax() == 2
+
+
+def test_quantize_embeddings_nan_guard_and_storage_width(spark):
+    """NaN/Inf elements must fail LOUDLY (ANSI cast would otherwise
+    die cryptically mid-job), and int8 codes must be schema-level
+    tinyint — the 4x storage claim is about the column width."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from feagen_spark.operators.similarity import quantize_embeddings
+
+    ok = spark.createDataFrame(
+        [(1, [0.5, -1.0])], "vec_id long, embedding array<double>"
+    )
+    q = quantize_embeddings(ok, "embedding")
+    assert isinstance(q.schema["q_vec"].dataType, ArrayType)
+    assert isinstance(q.schema["q_vec"].dataType.elementType, ByteType)
+
+    for bad_vec in ([1.0, float("nan")], [float("inf"), 1.0]):
+        bad = spark.createDataFrame(
+            [(1, bad_vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="non-finite"):
+            quantize_embeddings(bad, "embedding").collect()
+
+
+def test_hash_tokenize_matches_python_and_composes_with_packing(spark):
+    """md5-mode ids reproduce hashlib exactly (the portable bridge);
+    ids are stable across layouts; text → hash_tokenize → pack →
+    materialize yields packed int arrays whose length equals used_len."""
+    import hashlib
+
+    from feagen_spark.operators.cleaning import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
+    from feagen_spark.operators.textstats import hash_tokenize
+
+    docs = spark.createDataFrame(
+        [(i, f"Doc {i} has words w{i % 7} and w{(i * 3) % 5}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    V = 1024
+    t = hash_tokenize(docs, vocab_size=V, method="md5")
+    got = {r["doc_id"]: r["token_ids"] for r in t.collect()}
+
+    def pyid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % V
+
+    for i in range(30):
+        toks = f"doc {i} has words w{i % 7} and w{(i * 3) % 5}".split()
+        assert got[i] == [pyid(x) for x in toks]
+    assert all(0 <= x < V for ids in got.values() for x in ids)
+
+    # NULL text -> NULL ids; empty text -> empty array
+    edge = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    e = {r["doc_id"]: r["token_ids"]
+         for r in hash_tokenize(edge, vocab_size=V).collect()}
+    assert e[1] is None and e[2] == []
+
+    # end-to-end: token ids -> pack -> materialize (packed ints)
+    lens = t.withColumn("n_tok", F.size("token_ids").cast("long"))
+    assign = pack_sequences(lens, "doc_id", "n_tok", max_len=32, n_buckets=2)
+    packed = materialize_packed_sequences(
+        assign, lens.select("doc_id", "token_ids"),
+        "doc_id", "n_tok", "token_ids", max_len=32,
+    ).collect()
+    assert sum(r["n_docs"] for r in packed) == 30
+    for r in packed:
+        assert len(r["packed"]) == r["used_len"]
+        assert all(isinstance(x, int) for x in r["packed"])
+
+
+def test_hash_tokenize_jvm_map_only(spark):
+    from feagen_spark.operators.textstats import hash_tokenize
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = hash_tokenize(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in final, final
