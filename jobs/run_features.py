@@ -179,6 +179,22 @@ def main() -> None:
         )
 
         src, idc = _single_id(out, pk.get("id_col", "doc_id"), "__pack_id")
+        # tokenize_vocab (r6): hash-tokenize the text first and pack BY
+        # TOKEN BUDGET — len_col/payload_col default to the derived
+        # token ids, making the stage a full text -> packed-token-id
+        # pipeline with no external tokenizer model
+        if pk.get("tokenize_vocab"):
+            from pyspark.sql import functions as F
+
+            from feagen_spark.operators.textstats import hash_tokenize
+
+            src = hash_tokenize(
+                src,
+                text_col=pk.get("text_col", "text"),
+                vocab_size=int(pk["tokenize_vocab"]),
+            ).withColumn("n_tok", F.size("token_ids").cast("long"))
+            pk.setdefault("len_col", "n_tok")
+            pk.setdefault("payload_col", "token_ids")
         rows_hint = pk.get("rows_hint")
         assign = pack_sequences(
             src,

@@ -712,3 +712,24 @@ def test_deterministic_shuffle_plan_pinned_and_jvm_only(spark):
     oplan = ordered._jdf.queryExecution().executedPlan().toString()
     ofinal = oplan.split("== Initial Plan ==")[0]
     assert ofinal.count("Exchange rangepartitioning") == 1, ofinal
+
+
+def test_deterministic_shuffle_string_ids_md5_parity(spark):
+    """String ids go through the same md5 bridge — ranks must match a
+    driver-side hashlib sort of the raw id strings."""
+    import hashlib
+
+    from feagen_spark.operators.cleaning import deterministic_shuffle
+
+    ids = [f"doc-{i:04d}" for i in range(200)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(
+            df, "doc_id", seed=11, method="md5", n_partitions=5
+        ).collect()
+    }
+    keys = sorted(
+        (hashlib.md5(f"11:{i}".encode()).hexdigest(), i) for i in ids
+    )
+    assert got == {i: pos for pos, (_, i) in enumerate(keys)}

@@ -145,3 +145,43 @@ def test_run_features_order_stage(spark, tmp_path, monkeypatch, capsys):
         )
     }
     assert all(want[r["__order_id"]] == r["shuffle_rank"] for r in rows)
+
+
+def test_run_features_pack_tokenize_vocab(spark, tmp_path, monkeypatch, capsys):
+    """tokenize_vocab packs BY TOKEN BUDGET with hash-token-id payloads
+    derived in-stage — no len_col/payload_col in the config."""
+    from feagen_spark.datagen.transcripts import transcripts
+
+    inp = str(tmp_path / "transcripts")
+    transcripts(spark, n_conv=10).write.parquet(inp)
+
+    out_path = str(tmp_path / "out")
+    packed_path = str(tmp_path / "packed")
+    cfg = tmp_path / "run.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: pack_tokenize_test",
+                f"input_path: {inp}",
+                'keys: ["conv_id", "turn_idx"]',
+                'features: ["text_len"]',
+                'pack: {"id_col": ["conv_id", "turn_idx"], '
+                '"tokenize_vocab": 512, "max_len": 128, "n_buckets": 2, '
+                f'"output_path": "{packed_path}"}}',
+                f"output_path: {out_path}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["run_features", "--config", str(cfg)])
+    _load_runner().main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok" and summary["packed_rows"] > 0
+
+    n_turns = spark.read.parquet(inp).count()
+    rows = spark.read.parquet(packed_path).collect()
+    assert sum(r["n_docs"] for r in rows) == n_turns
+    for r in rows:
+        assert len(r["packed"]) == r["used_len"]
+        assert all(isinstance(x, int) and 0 <= x < 512 for x in r["packed"])
+        if not r["oversize"]:
+            assert r["used_len"] <= 128
