@@ -1522,9 +1522,11 @@ def _sql_lang_id(expr: str) -> str:
     )
 
 
+# non-empty split segments — mirrors textstats._token_count exactly
+# (code-review r6: the old trim-based CASE counted phantom segments
+# around tab/newline edges); move the two together
 _TOKENS = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))"
 )
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 

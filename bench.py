@@ -222,11 +222,16 @@ def main() -> None:
 
     # transcript feature-DAG throughput (north-rule metric)
     tp = args.transcripts_path
+    # the marker pins WHICH input the cached table is — a changed
+    # --n-conv/--giant-turns must regenerate, not silently bench stale
+    # data under a stale row count (code-review r6)
     marker = Path(tp) / "_ROWS"
-    if not marker.exists():
+    want_cfg = f"n_conv={args.n_conv} giant_turns={args.giant_turns}"
+    cached = marker.read_text().split("\n") if marker.exists() else []
+    if len(cached) < 2 or cached[1] != want_cfg:
         rows = materialize_transcripts(spark, tp, args.n_conv, args.giant_turns)
-        marker.write_text(str(rows))
-    rows = int(marker.read_text())
+        marker.write_text(f"{rows}\n{want_cfg}")
+    rows = int(marker.read_text().split("\n")[0])
     dag_sec, dag_stats = run_feature_dag(spark, tp, repeats=args.repeats)
     turns_per_sec = rows / dag_sec
 

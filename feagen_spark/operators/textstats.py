@@ -52,9 +52,16 @@ def _ws_tokens(col) -> F.Column:
 
 
 def _token_count(col) -> F.Column:
-    t = F.trim(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, WS_SPLIT))
+    """Whitespace token count = NON-EMPTY split segments (code-review
+    r6: the old trim+size(split) form counted phantom empty segments
+    around leading/trailing tab/newline whitespace — trim strips
+    spaces only — so '\\t' counted 2; now whitespace-only text counts
+    0 and the count equals size(_ws_tokens(col)) on every input, as
+    the hash_tokenize contract states). NULL text stays NULL. The
+    DuckDB oracle macro (_TOKENS in __spark_entry__.py) mirrors this
+    exact formula — move them together."""
+    return F.size(
+        F.filter(F.split(col, WS_SPLIT), lambda t: t != "")
     ).cast("int")
 
 
@@ -111,12 +118,6 @@ def _with_padded(df: DataFrame, text_col: str):
     return df.withColumn(
         "__padded", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     )
-
-
-def _stopword_hits(col, words) -> F.Column:
-    """One-off form (builds the padded string inline); prefer
-    _hits_on_padded + _with_padded in multi-word pipelines."""
-    return _hits_on_padded(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), words)
 
 
 def add_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:

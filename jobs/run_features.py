@@ -27,12 +27,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _strip_comment(line: str) -> str:
+    """Drop a trailing '#'-comment, but only at a '#' OUTSIDE quotes —
+    paths like /data/run#3 inside quoted literals must survive
+    (code-review r6)."""
+    quote = None
+    for i, ch in enumerate(line):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "#":
+            return line[:i]
+    return line
+
+
 def load_config(path: str) -> dict:
-    """Minimal flat YAML subset: `key: value` lines, '#' comments,
-    python-literal values (lists/strings/ints)."""
+    """Minimal flat YAML subset: `key: value` lines, '#' comments
+    (quote-aware), python-literal values (lists/strings/ints)."""
     cfg = {}
     for line in Path(path).read_text().splitlines():
-        line = line.split("#", 1)[0].strip()
+        line = _strip_comment(line).strip()
         if not line or ":" not in line:
             continue
         k, v = line.split(":", 1)
@@ -132,6 +148,17 @@ def main() -> None:
     out = eng.generate(df, list(features))
     executed += eng.last_run.executed
     skipped += eng.last_run.skipped
+
+    # every enabled stage below plus the final write is its own action
+    # over the SAME lazy feature table — without a persist the feature
+    # DAG recomputes once per stage (code-review r6: backfill + pack +
+    # order + bundle + write = up to 5 full recomputes)
+    n_consumers = 1 + sum(
+        bool(cfg.get(k)) for k in ("backfill", "pack", "order", "bundle_structure")
+    )
+    persisted = None
+    if n_consumers > 1:
+        out = persisted = out.persist()
 
     # backfill stage (SURVEY §2.C C10, VERDICT r4 #7): project the as-of
     # feature snapshot onto arbitrary (key, ts) label points — the north
@@ -264,6 +291,8 @@ def main() -> None:
     if cfg.get("output_partition_by"):
         writer = writer.partitionBy(cfg["output_partition_by"])
     writer.format(cfg.get("output_format", "parquet")).save(out_path)
+    if persisted is not None:  # bundle may have rebound `out`
+        persisted.unpersist()
 
     print(
         json.dumps(

@@ -185,3 +185,28 @@ def test_run_features_pack_tokenize_vocab(spark, tmp_path, monkeypatch, capsys):
         assert all(isinstance(x, int) and 0 <= x < 512 for x in r["packed"])
         if not r["oversize"]:
             assert r["used_len"] <= 128
+
+
+def test_load_config_comment_stripping_is_quote_aware(tmp_path):
+    """'#' inside quoted literals survives; unquoted trailing comments
+    are stripped (code-review r6)."""
+    runner = _load_runner()
+    p = tmp_path / "c.yml"
+    p.write_text(
+        "\n".join(
+            [
+                "a: 1  # trailing comment",
+                'b: "/data/run#3/out"',
+                "c: {'path': '/tmp/a#b', 'n': 2}  # dict with hash",
+                "# full-line comment",
+                "d: plain",
+            ]
+        )
+    )
+    cfg = runner.load_config(str(p))
+    assert cfg == {
+        "a": 1,
+        "b": "/data/run#3/out",
+        "c": {"path": "/tmp/a#b", "n": 2},
+        "d": "plain",
+    }

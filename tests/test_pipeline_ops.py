@@ -1133,3 +1133,24 @@ def test_hash_tokenize_jvm_map_only(spark):
     assert "Exchange" not in final, final
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in final, final
+
+
+def test_token_count_whitespace_edges(spark):
+    """token_count counts NON-EMPTY segments: tab/newline-edged and
+    whitespace-only text must not produce phantom tokens (code-review
+    r6); count equals len(_ws_tokens) on every input."""
+    from feagen_spark.operators.textstats import add_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "\ta"),
+            (2, "a b\n"),
+            (3, "\t\n "),
+            (4, ""),
+            (5, None),
+            (6, "  x  y  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["token_count"] for r in add_token_count(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 0, 4: 0, 5: None, 6: 2}

@@ -58,7 +58,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         if gc.dtype.kind == "f" or ec.dtype.kind == "f":
             gv = pd.to_numeric(gc, errors="coerce").astype(float).to_numpy()
             ev = pd.to_numeric(ec, errors="coerce").astype(float).to_numpy()
-            ok = np.allclose(gv, ev, atol=1e-6, equal_nan=True)
+            # rtol MUST be 0 (code-review r6): the numpy default 1e-5
+            # scales tolerance with magnitude — a nullable BIGINT
+            # epoch-us column lands here as float64 and would tolerate
+            # ~4.7 HOURS of drift; counts would tolerate ~10 per
+            # million. Values are pre-rounded on both sides, so a flat
+            # 1e-6 is the whole contract.
+            ok = np.allclose(gv, ev, rtol=0, atol=1e-6, equal_nan=True)
         else:
             ok = (
                 gc.fillna("__n__").astype(str) == ec.fillna("__n__").astype(str)
@@ -100,6 +106,13 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+
+    # a typo'd filter name must not produce a vacuous 'failures: 0'
+    # (code-review r6): every requested name has to exist
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL filter: unknown query name(s) {unknown}")
+        failures += 1
 
     # Registry guards (VERDICT r4 #1): the driver's CORRECTNESS artifact
     # records at most the FIRST 50 queries() entries in dict order (r4:
