@@ -1223,16 +1223,28 @@ def q_ev_stream_decay(spark, sf_dir):
 def q_doc_mixture_report(spark, sf_dir):
     """Corpus mixture report — the curation dashboard aggregate: per
     (lang, source) document count, total whitespace tokens and mean doc
-    length. Drives mixture-weight decisions (what stratified_sample then
-    enforces). Map-side-combinable groupBy; token counting is the
-    repo's canonical JVM tokenizer with its pinned SQL twin."""
+    length, PLUS (r6) the stratum's skew profile from
+    skew.key_skew_report (share of corpus, ratio to a uniform key,
+    heaviness rank — the pre-flight question a 100 TB shuffle asks of
+    its key). top_k covers every stratum here, so the report and the
+    mixture aggregate share one row set and ONE driver entry; the
+    operator's TakeOrderedAndProject top-k path gets full oracle
+    evidence through the share/uniform_ratio/rank hashes. Drives
+    mixture-weight decisions (what stratified_sample then enforces)."""
+    from feagen_spark.operators.skew import key_skew_report
+
     docs = _docs(spark, sf_dir)  # repartition: token regex is CPU-heavy
     out = TS.add_token_count(docs)
-    return out.groupBy("lang", "source").agg(
+    mix = out.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("token_count").cast("bigint").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+    skew = key_skew_report(docs, ["lang", "source"], top_k=100_000).select(
+        "lang", "source", "share", "uniform_ratio",
+        F.col("rank").cast("int").alias("skew_rank"),
+    )
+    return mix.join(skew, on=["lang", "source"])
 
 
 def q_emb_near_dups(spark, sf_dir):
@@ -1807,11 +1819,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["doc_mixture_report"] = f"""
-        SELECT lang, source,
-               count(*) AS n_docs,
-               CAST(sum({_TOKENS}) AS BIGINT) AS total_tokens,
-               round(avg(n_chars), 6) AS avg_chars
-        FROM documents GROUP BY lang, source
+        WITH mix AS (
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   CAST(sum({_TOKENS}) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, total_tokens, avg_chars,
+               round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                   AS share,
+               round(n_docs * CAST(count(*) OVER () AS DOUBLE)
+                     / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                   AS uniform_ratio,
+               CAST(row_number() OVER (
+                   ORDER BY n_docs DESC, lang, source) AS INT) AS skew_rank
+        FROM mix
     """
 
     sql["ev_stratified_sample"] = """

@@ -733,3 +733,40 @@ def test_deterministic_shuffle_string_ids_md5_parity(spark):
         (hashlib.md5(f"11:{i}".encode()).hexdigest(), i) for i in ids
     )
     assert got == {i: pos for pos, (_, i) in enumerate(keys)}
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP_SHUF = True
+except ImportError:  # pragma: no cover
+    _HYP_SHUF = False
+
+
+if _HYP_SHUF:
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ids=st.sets(st.integers(-(2**40), 2**40), min_size=1, max_size=120),
+        seed=st.integers(0, 2**20),
+        n_parts=st.integers(1, 9),
+    )
+    def test_deterministic_shuffle_rank_property(spark, ids, seed, n_parts):
+        """For ANY id set (negatives included), seed and partition
+        count: ranks are exactly the positions of the driver-side
+        (md5(seed:id), id) sort — unique, contiguous, 0-based."""
+        import hashlib
+
+        from feagen_spark.operators.cleaning import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in deterministic_shuffle(
+                df, "doc_id", seed=seed, method="md5", n_partitions=n_parts
+            ).collect()
+        }
+        keys = sorted(
+            (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i) for i in ids
+        )
+        assert got == {i: pos for pos, (_, i) in enumerate(keys)}
