@@ -65,10 +65,21 @@ class Engine:
                     df = df.join(cp, on=list(self.keys), how="left")
                     report.skipped.append(node.name)
                     continue
-                df = node.fn(df)
-                out = df.select(*self.keys, *node.outputs)
+                computed = node.fn(df)
+                out = computed.select(*self.keys, *node.outputs)
                 ts = self.ts_col if self.ts_col in out.columns else None
                 self.store.write(out, fp, node.name, ts_col=ts)
+                # JOIN THE MATERIALIZED TABLE BACK instead of keeping
+                # the node.fn lineage (code-review r6): the checkpoint
+                # must be a real barrier — otherwise the caller's final
+                # action recomputes the subtree the write just paid for
+                # (2x per checkpoint), and a nondeterministic upstream
+                # would hand downstream features DIFFERENT values than
+                # the ones persisted, so a later resume silently
+                # diverges from the original run. Cold path now ends in
+                # the exact join the resume path uses.
+                cp = self.store.read(spark, fp)
+                df = df.join(cp, on=list(self.keys), how="left")
                 report.executed.append(node.name)
             else:
                 df = node.fn(df)

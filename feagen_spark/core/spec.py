@@ -134,21 +134,30 @@ class FeatureGeneratorMeta(type):
 
     def __new__(mcs, name, bases, attrs):
         cls = super().__new__(mcs, name, bases, attrs)
-        nodes: list[FeatureNode] = []
+        # keyed by attribute name so a subclass OVERRIDE replaces the
+        # base entry instead of duplicating it (code-review r6: the
+        # list form produced two nodes named 'f' → AmbiguousFeatureError
+        # on a decorated override, and silently kept the BASE impl on
+        # an undecorated override). MRO is walked base→derived, later
+        # wins; an undecorated override deletes the base registration —
+        # overriding a feature method without re-decorating is a
+        # contract error better surfaced as 'unknown feature' than as
+        # silently running the base body.
+        by_name: dict[str, FeatureNode] = {}
         for base in reversed(cls.__mro__):
             for attr_name, attr in vars(base).items():
                 if hasattr(attr, "__feagen_outputs__"):
-                    nodes.append(
-                        FeatureNode(
-                            name=attr_name,
-                            outputs=attr.__feagen_outputs__,
-                            deps=tuple(attr.__feagen_deps__),
-                            fn=attr,
-                            version=attr.__feagen_version__,
-                            checkpoint=attr.__feagen_checkpoint__,
-                        )
+                    by_name[attr_name] = FeatureNode(
+                        name=attr_name,
+                        outputs=attr.__feagen_outputs__,
+                        deps=tuple(attr.__feagen_deps__),
+                        fn=attr,
+                        version=attr.__feagen_version__,
+                        checkpoint=attr.__feagen_checkpoint__,
                     )
-        cls.__feature_nodes__ = nodes
+                elif attr_name in by_name and callable(attr):
+                    del by_name[attr_name]
+        cls.__feature_nodes__ = list(by_name.values())
         return cls
 
 

@@ -25,6 +25,16 @@ def _w(key: str | Sequence[str], order: Sequence[str | Column]):
     return Window.partitionBy(*keys).orderBy(*order)
 
 
+def _us(col: str | Column) -> Column:
+    """Epoch-microseconds of a ts expression. The defensive
+    ``.cast("timestamp")`` accepts TIMESTAMP_NTZ frames (driver parquet
+    read without the ingest cast) — ``unix_micros`` on raw NTZ is a
+    DATATYPE_MISMATCH; same pattern as asof.py/intervals.py
+    (code-review r6). A no-op on already-TIMESTAMP columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def add_lag_lead(
     df: DataFrame,
     key: str | Sequence[str],
@@ -54,7 +64,7 @@ def add_ts_delta(
     prev = F.lag(ts_col, 1).over(w)
     return df.withColumn(
         out,
-        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) / 1_000_000.0,
+        (_us(ts_col) - _us(prev)) / 1_000_000.0,
     )
 
 
@@ -91,7 +101,7 @@ def add_rolling_time(
     keys = [key] if isinstance(key, str) else list(key)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(_us(ts_col))
         .rangeBetween(-last_seconds * 1_000_000, hi)
     )
     return df.withColumn(out, agg.over(w))
@@ -152,7 +162,7 @@ def add_rolling_decayed_sum(
     import math
 
     w = _w(key, order).rowsBetween(-last_n, -1)
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(ts_col)
     pairs = F.collect_list(
         F.struct(
             us.alias("us"),
@@ -200,7 +210,7 @@ def add_rolling_frame_features(
     import math
 
     w = _w(key, order).rowsBetween(-last_n, -1)
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(ts_col)
     frame = F.collect_list(
         F.struct(
             us.alias("us"),
@@ -263,7 +273,7 @@ def add_session_id(
     is_new = (
         F.when(prev.isNull(), F.lit(0))
         .when(
-            (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev))
+            (_us(ts_col) - _us(prev))
             > gap_s * 1_000_000,
             F.lit(1),
         )
@@ -301,7 +311,7 @@ def add_session_id_capped(
     w_sess = Window.partitionBy(*keys, out).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(ts_col)
     start = F.min(us).over(w_sess)
     part = F.floor((us - start) / F.lit(int(max_duration_s) * 1_000_000))
     return df.withColumn(part_out, part.cast("int"))
@@ -320,7 +330,7 @@ def session_aggregates(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (_us(F.max(ts_col)) - _us(F.min(ts_col)))
             / 1_000_000.0
         ).alias("duration_s"),
         *extra_aggs,

@@ -82,6 +82,17 @@ def _asof_union(
     out_cols = [f"{value_prefix}{v}" for v in values]
     left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
 
+    # a snapshot output colliding with a left column would "succeed"
+    # into a frame with two same-named columns — every later reference
+    # dies with AMBIGUOUS_REFERENCE far from the cause (code-review r6).
+    # Surface it at call time with the fix in hand.
+    clash = sorted(set(out_cols) & ({*left_payload, *on, left_ts}))
+    if clash:
+        raise ValueError(
+            f"as-of output column(s) {clash} already exist on the left "
+            f"side; pass value_prefix= or values= to disambiguate"
+        )
+
     # tag ordering: lower _SIDE sorts first at equal ts
     right_side = 0 if not strict else 2
     left_side = 1

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -205,6 +206,7 @@ class CheckpointStore:
 
         from pyspark.sql import Observation
 
+        self._check_node_name(node_name)
         if self.bucket_by is not None:
             return self._write_bucketed(df, fingerprint, node_name, ts_col, audit_nan)
 
@@ -322,6 +324,21 @@ class CheckpointStore:
         return hashlib.md5(
             os.path.abspath(self.root).encode("utf-8")
         ).hexdigest()[:8]
+
+    @staticmethod
+    def _check_node_name(node_name: str) -> None:
+        """Node names become SQL identifiers (bucketed saveAsTable /
+        ALTER TABLE) and filesystem path segments; an unsafe name fails
+        the FIRST write with a ParseException or corrupts the path
+        layout (code-review r6). Reject it by name up front — decorated
+        methods are always identifiers, this only bites hand-built
+        FeatureNodes."""
+        if not re.fullmatch(r"[A-Za-z0-9_]+", node_name or ""):
+            raise ValueError(
+                f"checkpoint node name {node_name!r} must match "
+                "[A-Za-z0-9_]+ (it is used as a SQL identifier and a "
+                "path segment)"
+            )
 
     def _table_name(self, node_name: str, fingerprint: str) -> str:
         """Catalog identifier for a bucketed checkpoint: scoped by a hash
@@ -498,17 +515,7 @@ class CheckpointStore:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
 
-        location = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
-            .where("col_name = 'Location'")
-            .first()["data_type"]
-        )
-        # strip only the URI SCHEME (a bare .replace would also mangle
-        # 'file:' occurring mid-path); non-file schemes (hdfs:, s3a:)
-        # keep the full URI — local file metrics don't apply there
-        from urllib.parse import urlparse
-
-        path = urlparse(location).path if location.startswith("file:") else location
+        path = self._table_location(spark, name)
         entry = {
             "node": node_name,
             "fingerprint": fingerprint,
@@ -521,7 +528,13 @@ class CheckpointStore:
             "row_count": int(audit["__rows"] or 0),
             "checksum": int(audit["__checksum"] or 0),
             "columns": df.columns,
-            "partitions": self._file_metrics(path, ts_col),
+            # a non-local warehouse (hdfs:/s3a:) keeps its full URI —
+            # os.listdir cannot walk it, and crashing HERE (after the
+            # swap, before _save_entry) would leave the data written but
+            # unresumable (code-review r6)
+            "partitions": (
+                self._file_metrics(path, ts_col) if os.path.isdir(path) else []
+            ),
         }
         self._save_entry(entry)
         return entry

@@ -95,7 +95,10 @@ def streaming_session_value_aggs(
             F.session_window(ts_col, f"{gap_s} seconds").alias("session"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            # int, not bigint: the batch mirror casts (windowed.py
+            # session_aggregates) and the docstring promises
+            # row-identical schemas (code-review r6)
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.sum(value_col).alias("session_value"),
@@ -270,6 +273,22 @@ def streaming_asof_state(
         if frames:
             batch = pd.concat(frames).sort_values(["ts", "turn_idx"])
             for r in batch.itertuples():
+                if pd.isna(r.ts):
+                    # NaT.value is iNaT (~-9.2e18): one null-ts row
+                    # would set the clocks to ~-9.2e15 µs and every
+                    # later row would read its state as expired forever.
+                    # Emit NULLs (no reference instant to age against)
+                    # and don't advance the state — same contract as
+                    # streaming_decayed_sum (code-review r6).
+                    rows.append(
+                        {
+                            "conv_id": key[0],
+                            "turn_idx": int(r.turn_idx),
+                            "prev_role": None,
+                            "last_tool": None,
+                        }
+                    )
+                    continue
                 cur_us = r.ts.value // 1000  # pandas ns → event-time us
                 pr, lt = last_role, last_tool
                 if lim is not None:

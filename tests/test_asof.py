@@ -583,3 +583,25 @@ def test_asof_nearest_rejects_non_numeric_tiebreak(spark):
         asof_join_nearest(
             left, right, on=["k"], values=["v"], right_order=("tag",)
         )
+
+
+def test_asof_output_column_clash_raises(spark):
+    """Code-review r6: with the default value_prefix='', a snapshot
+    column sharing a name with a left payload column would produce TWO
+    same-named output columns — every later reference dies with
+    AMBIGUOUS_REFERENCE far from the cause. Fail at call time instead."""
+    left = spark.createDataFrame(
+        [("k", 10, 1.0)], "k string, ts long, v double"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 2.0)], "k string, ts long, v double"
+    )
+    with pytest.raises(ValueError, match="value_prefix"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    # prefixed: same inputs are fine
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_prefix="snap_",
+    )
+    assert out.columns.count("v") == 1
+    assert out.first()["snap_v"] == 2.0

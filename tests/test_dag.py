@@ -164,6 +164,38 @@ def test_generator_class_decorators():
     assert d.plan(["s1"]).node_names == ["gen_double", "gen_s"]
 
 
+def test_generator_subclass_override_replaces_base_node():
+    """Code-review r6: a subclass overriding a decorated feature method
+    must yield ONE node (the override), not a duplicate name pair; an
+    UNDECORATED override removes the base registration instead of
+    silently running the base body."""
+    class Base(FeatureGenerator):
+        @will_generate("x")
+        def f(cls, df):
+            return df
+
+        @will_generate("y")
+        def g(cls, df):
+            return df
+
+    class Decorated(Base):
+        @will_generate("x", version="2")
+        def f(cls, df):
+            return df
+
+    class Undecorated(Base):
+        def f(cls, df):  # forgot @will_generate: drop, don't keep Base's
+            return df
+
+    nodes = {n.name: n for n in Decorated.nodes()}
+    assert set(nodes) == {"f", "g"}
+    assert nodes["f"].version == "2"
+    # the override's own function object is bound, not the base's
+    FeatureDAG(nodes=Decorated.nodes(), input_columns=())  # no duplicate error
+
+    assert {n.name for n in Undecorated.nodes()} == {"g"}
+
+
 def test_chained_template_expansion_over_events(spark):
     """Templates compose: `last_purchase_value_lag_2` expands the LAG
     template, whose dep `last_purchase_value` expands the as-of-carry

@@ -836,3 +836,88 @@ def test_vacuum_sweeps_stranded_external_aside_dirs(spark, tmp_path):
     import shutil as _sh
     for d in (fresh, other):
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_node_name_validated(spark, tmp_path):
+    """Code-review r6: node names become SQL identifiers (bucketed
+    saveAsTable) and path segments — an unsafe name must fail loudly at
+    write() with the contract, not deep inside a ParseException or a
+    corrupted path layout."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("conv_id"), F.lit(1.0).alias("v")
+    )
+    for store in (
+        CheckpointStore(str(tmp_path / "ck_nm")),
+        CheckpointStore(str(tmp_path / "ck_nm_b"), bucket_by=(2, "conv_id")),
+    ):
+        with pytest.raises(ValueError, match="A-Za-z0-9_"):
+            store.write(df, "fp_nm", "tfidf-v2")
+        with pytest.raises(ValueError, match="A-Za-z0-9_"):
+            store.write(df, "fp_nm", "a/b")
+    # plain identifier still writes
+    CheckpointStore(str(tmp_path / "ck_nm_ok")).write(df, "fp_nm", "tfidf_v2")
+
+
+def test_checkpoint_cold_write_is_a_barrier(spark, tmp_path):
+    """Code-review r6: on the COLD path the engine must join the
+    materialized checkpoint back instead of keeping the node.fn lineage.
+    Two consequences tested with a nondeterministic node fn:
+
+    - downstream reads the PERSISTED values (identical to what a later
+      resume would join back), so nondeterminism cannot make run-1 and
+      resume silently diverge;
+    - the caller's final action does not recompute the node's subtree.
+    """
+    from pyspark.sql import functions as F
+
+    from feagen_spark.core.spec import FeatureNode
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted_rand(df):
+        def gen(batches):
+            import numpy as np
+
+            for pdf in batches:
+                acc.add(len(pdf))
+                pdf = pdf.copy()
+                pdf["r"] = np.random.random(len(pdf))
+                yield pdf
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return df.mapInPandas(gen, schema=f"{schema}, r double")
+
+    nodes = [
+        FeatureNode("rnd", ("r",), (), counted_rand, checkpoint=True),
+        FeatureNode(
+            "twice",
+            ("r2",),
+            ("r",),
+            lambda df: df.withColumn("r2", F.col("r") * 2),
+        ),
+    ]
+    dag = FeatureDAG(nodes=nodes, input_columns=("conv_id",))
+    store = CheckpointStore(str(tmp_path / "ck_barrier"))
+    eng = Engine(dag, store=store, keys=("conv_id",), ts_col=None)
+
+    src = spark.range(100).select(F.col("id").alias("conv_id"))
+    out = eng.generate(src, ["r2"]).toPandas().set_index("conv_id").sort_index()
+    assert acc.value == 100, (
+        f"checkpointed subtree computed {acc.value} rows for a 100-row "
+        "input — the write is not a barrier"
+    )
+
+    fp = eng.last_run.plan.fingerprints["rnd"]
+    stored = store.read(spark, fp).toPandas().set_index("conv_id").sort_index()
+    assert (out["r"] == stored["r"]).all(), "downstream saw non-persisted values"
+    assert (out["r2"] == stored["r"] * 2).all()
+
+    # resume joins the same table back → bit-identical downstream
+    eng2 = Engine(dag, store=store, keys=("conv_id",), ts_col=None)
+    out2 = eng2.generate(src, ["r2"]).toPandas().set_index("conv_id").sort_index()
+    assert eng2.last_run.skipped == ["rnd"]
+    assert (out2["r2"] == out["r2"]).all()

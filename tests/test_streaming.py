@@ -407,3 +407,47 @@ def test_streaming_decayed_sum_matches_reference(spark, tmp_path):
     assert set(got) == set(want)
     for key_ in want:
         assert abs(got[key_] - want[key_]) < 1e-9, key_
+
+
+def test_streaming_asof_state_null_ts_does_not_poison_state(spark, tmp_path):
+    """Code-review r6: TRANSCRIPT_SCHEMA permits ts NULL; NaT.value is
+    iNaT, so one null-ts row used to set the TTL clocks to ~-9.2e15 µs
+    and every later row read its state as expired forever. The null-ts
+    row must emit NULLs (no reference instant) and leave the state
+    clocks untouched."""
+    import pandas as pd
+
+    rows = [
+        ("c1", 0, "user", "hi", "", "2024-01-01 10:00:00"),
+        ("c1", 1, "tool", "r", "search", "2024-01-01 10:00:10"),
+        ("c1", 2, "user", "??", "", None),                      # null ts
+        ("c1", 3, "assistant", "ok", "", "2024-01-01 10:00:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "nat_in")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    INC.run_available_now(
+        INC.streaming_asof_state(
+            INC.stream_transcripts(spark, d), ttl_s=3600.0
+        ),
+        "asof_state_nat",
+        str(tmp_path / "ck_nat"),
+        output_mode="update",
+    )
+    got = (
+        spark.table("asof_state_nat")
+        .toPandas()
+        .set_index("turn_idx")
+        .sort_index()
+    )
+    assert len(got) == 4
+    # null-ts row: no reference instant → NULL state fields
+    assert pd.isna(got.loc[2, "prev_role"])
+    assert pd.isna(got.loc[2, "last_tool"])
+    # the row AFTER the null ts still sees fresh, unexpired state
+    assert got.loc[3, "prev_role"] == "tool"
+    assert got.loc[3, "last_tool"] == "search"

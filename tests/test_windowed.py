@@ -250,3 +250,38 @@ def test_rolling_frame_features_fused_parity(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "collect_set" not in final
     assert final.count("collect_list") == 1
+
+
+def test_windowed_accepts_timestamp_ntz_frames(spark):
+    """Code-review r6: driver parquet reads are TIMESTAMP_NTZ; every
+    ts-consuming function must cast defensively (the repo NTZ rule that
+    asof.py/intervals.py already follow) instead of dying with
+    DATATYPE_MISMATCH inside unix_micros."""
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(6)],
+        "user_id string, n int, value double",
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(F.col("n").cast("long") * 600_000_000).cast(
+            "timestamp_ntz"
+        ),
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+    out = W.add_ts_delta(df, "user_id", ["ts"], ts_col="ts")
+    out = W.add_rolling_time(
+        out, "user_id", "ts", F.count(F.lit(1)), "n_last_20m", 1200
+    )
+    out = W.add_rolling_decayed_sum(
+        out, "user_id", ["ts"], "ts", "value", "decay", half_life_s=600
+    )
+    out = W.add_session_id(out, "user_id", ["ts"], ts_col="ts", gap_s=1800)
+    rows = {r["n"]: r for r in out.collect()}
+    assert rows[1]["ts_delta_prev_s"] == 600.0
+    assert rows[2]["n_last_20m"] == 2
+    assert rows[0]["session_id"] == 0
+
+    aggs = W.session_aggregates(
+        out, "user_id", ts_col="ts", session_col="session_id"
+    )
+    assert aggs.count() >= 1
