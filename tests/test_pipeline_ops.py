@@ -256,6 +256,93 @@ def test_cosine_near_dup_pairs(vectors):
     assert (2, 13) in got
 
 
+def _semantic_dedup_ref(vecs: dict, n_cent: int, threshold: float):
+    """Loop reference for semantic_dedup: md5-ordered seeds, argmax-
+    cosine assignment (ties → lower centroid id), within-cluster pairs,
+    drop the higher-rounded-cent_sim member (ties → higher id)."""
+    import hashlib
+
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    seeds = []
+    for sid in order[:n_cent]:
+        v = np.asarray(vecs[sid], dtype=np.float64)
+        n = np.linalg.norm(v)
+        seeds.append(v / (n if n > 0 else 1.0))
+    out = {}
+    for i, v in vecs.items():
+        v = np.asarray(v, dtype=np.float64)
+        vn = v / np.linalg.norm(v)
+        sims = [float(vn @ s) for s in seeds]
+        cid = int(np.argmax(sims))  # np.argmax ties → first (lower id)
+        out[i] = {"centroid_id": cid, "cent_sim": round(sims[cid], 6) + 0.0}
+    dropped = set()
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if out[a]["centroid_id"] != out[b]["centroid_id"]:
+                continue
+            va = np.asarray(vecs[a], dtype=np.float64)
+            vb = np.asarray(vecs[b], dtype=np.float64)
+            cos = round(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+            )
+            if cos >= threshold:
+                dropped.add(a if out[a]["cent_sim"] > out[b]["cent_sim"] else b)
+    for i in ids:
+        out[i]["keep"] = i not in dropped
+    return out
+
+
+def test_semantic_dedup_matches_loop_reference(vectors):
+    df, base = vectors
+    cent = S.seed_centroids(df, n_centroids=4)
+    got = S.semantic_dedup(df, cent, threshold=0.95).collect()
+    ref = _semantic_dedup_ref(
+        {int(i): base[i] for i in range(len(base))}, 4, 0.95
+    )
+    assert len(got) == len(base)
+    for r in got:
+        e = ref[r["vec_id"]]
+        assert r["centroid_id"] == e["centroid_id"], r
+        assert r["keep"] == e["keep"], r
+        assert abs(r["cent_sim"] - e["cent_sim"]) <= 2e-6, r
+
+
+def test_semantic_dedup_drops_planted_twin(spark, vectors):
+    """An exact twin (cosine 1.0, identical cent_sim) must lose exactly
+    its higher id; of the planted near-dup pair (2, 13) exactly one
+    member survives."""
+    df, base = vectors
+    twin = spark.createDataFrame(
+        [(100, [float(x) for x in base[2]])], "vec_id long, embedding array<float>"
+    )
+    corpus = df.unionByName(twin)
+    cent = S.seed_centroids(corpus, n_centroids=4)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(corpus, cent, threshold=0.95).collect()
+    }
+    assert len(out) == len(base) + 1
+    assert out[100] is False          # twin of 2: same cent_sim, higher id
+    assert (out[2], out[13]).count(True) == 1  # near-dup pair: one survivor
+
+
+def test_seed_centroids_md5_order_and_normalization(vectors):
+    import hashlib
+
+    df, base = vectors
+    cent = S.seed_centroids(df, n_centroids=3)
+    order = sorted(
+        range(len(base)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:3]
+    exp = np.vstack([base[i].astype(np.float64) for i in order])
+    exp = exp / np.linalg.norm(exp, axis=1, keepdims=True)
+    assert np.allclose(cent, exp, atol=1e-12)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-12)
+
+
 # -- multimodal plumbing ------------------------------------------------------------
 
 def test_multimodal_image_plumbing(spark):

@@ -471,6 +471,31 @@ def test_lsh_topk_dedup_exchange_carries_scalars_only(spark):
         assert "query_vec" not in b["input"], b
 
 
+def test_semantic_dedup_drop_distinct_carries_id_only(spark):
+    """semantic_dedup scores and thresholds pairs IMMEDIATELY after the
+    cluster self-join, and the drop decision collapses each pair to ONE
+    id before the distinct — so the drop-set Exchange (keyed on vec_id)
+    shuffles bare ids. Only the centroid_id-keyed self-join exchanges
+    (which co-locate cluster members) may carry embeddings; no
+    cartesian/BNLJ anywhere."""
+    from feagen_spark.operators import similarity as S
+
+    df = _vectors_df(spark)
+    cent = S.seed_centroids(df, n_centroids=4)
+    out = S.semantic_dedup(df, cent, threshold=0.9)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    id_keyed = [
+        b
+        for b in _exchange_blocks(plan)
+        if "hashpartitioning(vec_id" in b["args"]
+    ]
+    assert id_keyed, plan
+    for b in id_keyed:
+        assert "embedding" not in b["input"], b
+
+
 def test_lsh_plan_construction_is_action_free(spark):
     """With dim= passed, building the LSH plans must run ZERO Spark jobs
     (VERDICT r3 #2: the 1-row dimension-sniff job exists only as the
