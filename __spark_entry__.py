@@ -768,26 +768,45 @@ def q_doc_dedup_canonical(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_emb_topk(spark, sf_dir):
+    """Exact ANN baseline AND the IVF scale path in ONE entry (merged
+    r6 to free a registry slot for emb_semantic_dedup): method='brute'
+    is cosine_topk; method='ivf_exhaustive' is ivf_topk probed at
+    nprobe == n_centroids, where every inverted list is visited and the
+    result PROVABLY equals brute force — so both methods share one
+    DuckDB top-k oracle (cross-joined with the two method labels). A
+    divergence in the IVF machinery (k-means training, list
+    assignment, probe join, re-rank) breaks the ivf_exhaustive half of
+    the value hash. Pruned-probe recall is covered by pytest."""
     emb = _embs(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.cosine_topk(emb, q, k=5)
-
-
-def q_emb_ivf_topk(spark, sf_dir):
-    """IVF ANN (the second scale path next to hyperplane-LSH) run
-    EXHAUSTIVELY (nprobe == n_centroids): every inverted list is probed,
-    so the result provably equals brute force and shares emb_topk's
-    DuckDB oracle — a full value check of the IVF machinery (k-means
-    training, list assignment, probe join, re-rank). Pruned-probe recall
-    is covered by pytest."""
-    emb = _embs(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    brute = S.cosine_topk(emb, q, k=5).withColumn("method", F.lit("brute"))
     cent = S.train_ivf_centroids(emb, n_centroids=8, seed=42)
-    return S.ivf_topk(emb, q, cent, k=5, nprobe=8)
+    ivf = S.ivf_topk(emb, q, cent, k=5, nprobe=8).withColumn(
+        "method", F.lit("ivf_exhaustive")
+    )
+    return brute.unionByName(ivf)
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic near-duplicate pruning (similarity.
+    semantic_dedup) with a FULL value oracle: the corpus is the random
+    embeddings (max pairwise cosine < 0.9 at every sf) plus 50 planted
+    identical twins (the emb_near_dups pattern), clustered on
+    seed_centroids' md5-ordered zero-iteration seeds — a clustering
+    DuckDB recomputes exactly (row_number over md5 order, argmax
+    cosine). The only pairs above τ=0.95 are the twins; each twin pair
+    has IDENTICAL rounded cent_sim, so the drop rule deterministically
+    removes the higher (planted) id. The hash covers assignment,
+    cent_sim, and the keep flag for every corpus row."""
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    cent = S.seed_centroids(corpus, n_centroids=16)
+    return S.semantic_dedup(corpus, cent, threshold=0.95)
 
 
 def q_emb_bundle(spark, sf_dir):
@@ -1491,7 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_recall": q_doc_lsh_recall,
         "doc_sparse_features": q_doc_sparse_features,
         "emb_topk": q_emb_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_bundle": q_emb_bundle,
         "emb_label_centroids": q_emb_label_centroids,
         "emb_lsh_recall": q_emb_lsh_recall,
@@ -2358,7 +2377,9 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
     """
 
-    sql["emb_topk"] = """
+    # shared exact-top-k base: emb_topk methodizes it; emb_lsh_recall's
+    # `exact` CTE keeps the unmethodized single set
+    _topk_base = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS query_vec
             FROM embeddings WHERE vec_id < 3
@@ -2376,7 +2397,54 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    sql["emb_ivf_topk"] = sql["emb_topk"]
+    # brute force and exhaustive IVF provably return the SAME rows, so
+    # the merged entry is the base set under each method label
+    sql["emb_topk"] = f"""
+        WITH base AS ({_topk_base})
+        SELECT base.*, m.method
+        FROM base CROSS JOIN (VALUES ('brute'), ('ivf_exhaustive')) m(method)
+    """
+
+    # SemDeDup replay: same union corpus, md5-ordered zero-iteration
+    # seeds, argmax-cosine assignment (ties -> lower centroid id),
+    # within-cluster pairs at tau=0.95, drop the higher-rounded-cent_sim
+    # member (pairs ordered id_a < id_b, so ties drop the higher id)
+    sql["emb_semantic_dedup"] = """
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id < 50
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS INT) - 1 AS centroid_id,
+                   v AS cv
+            FROM c
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id,
+                   round(sim_raw, 6) + 0.0 AS cent_sim
+            FROM (
+                SELECT c.vec_id, c.v, s.centroid_id,
+                       list_cosine_similarity(c.v, s.cv) AS sim_raw,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.v, s.cv) DESC,
+                                    s.centroid_id ASC) AS rn
+                FROM c CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT CASE WHEN a.cent_sim > b.cent_sim
+                                 THEN a.vec_id ELSE b.vec_id END AS vec_id
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+        )
+        SELECT a.vec_id, a.centroid_id, a.cent_sim,
+               d.vec_id IS NULL AS keep
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
 
     # exact O(n²) cosine pairs over corpus + planted twins: catches both
     # a silent LSH miss (twin pairs MUST collide in every band) and any
@@ -2399,7 +2467,7 @@ def oracle_sql() -> dict[str, str]:
     # provably contains every exact top-k row (see q_emb_lsh_recall), so
     # n_found == n_true and recall is deterministically 1.0
     sql["emb_lsh_recall"] = f"""
-        WITH exact AS ({sql["emb_topk"]})
+        WITH exact AS ({_topk_base})
         SELECT count(*) AS n_true, count(*) AS n_found,
                round(1.0, 6) AS recall
         FROM exact

@@ -59,8 +59,8 @@ HEADLINE = [
     "doc_sparse_features",
     "doc_tfidf",
     "doc_scrub_chunks",
-    "emb_topk",
-    "emb_ivf_topk",
+    "emb_topk",               # r6: + ivf_exhaustive method (was emb_ivf_topk)
+    "emb_semantic_dedup",     # r6: SemDeDup over seed-centroid clusters
     "emb_bundle",
     "ev_feature_dag",
     "ev_asof_chunked",
