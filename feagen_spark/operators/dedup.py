@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
@@ -267,7 +267,6 @@ def minhash_lsh_pairs(
     """
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
-    r = k // bands
     sig = minhash_signatures(
         df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
         hash_mode=hash_mode, dict_hash=dict_hash,
@@ -279,20 +278,7 @@ def minhash_lsh_pairs(
     # partitions for the life of a long-running session). Shuffle payload
     # grows by k longs per band row; for k=32/bands=8 that's ~2KB per doc,
     # far cheaper than re-running the signature shuffle twice.
-    band_rows = sig.select(
-        id_col,
-        "signature",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), F.slice(F.col("signature"), b * r + 1, r)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    band_rows = _band_rows(sig, k, bands, id_col)
     if max_bucket is not None:
         hot = (
             band_rows.groupBy("band", "bucket")
@@ -316,23 +302,198 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "a.signature", "b.signature", lambda x, y: x == y
-                        ),
-                        lambda eq: eq,
-                    )
-                )
-                / F.lit(float(k)),
-                6,
-            ).alias("est_jaccard"),
+            _est_jaccard(F.col("a.signature"), F.col("b.signature"), k).alias(
+                "est_jaccard"
+            ),
         )
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
     return est
+
+
+def _band_rows(sig: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """Band-key explode shared by the one-shot pair join and the
+    persisted-index path: bucket = xxhash64(band_idx, signature slice).
+    ONE definition, so an index written yesterday and an increment
+    banded today can never disagree on bucket keys."""
+    r = k // bands
+    return sig.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), F.slice(F.col("signature"), b * r + 1, r)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _est_jaccard(sig_x: F.Column, sig_y: F.Column, k: int) -> F.Column:
+    """Signature-estimated Jaccard: fraction of agreeing MinHash
+    positions, rounded to 6dp (oracle alignment). Symmetric in its
+    arguments."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with(sig_x, sig_y, lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(k)),
+        6,
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    hash_mode: str = "xxh64",
+    fmt: str = "parquet",
+    write_mode: str = "overwrite",
+) -> None:
+    """Materialize the banded MinHash index of a deduplicated corpus:
+    one row per (doc, band) carrying (id, signature, band, bucket),
+    PARTITIONED BY band. This is the persisted half of incremental
+    dedup — the corpus text is shingled and hashed exactly once, at
+    index-build time; every later ingest batch probes this table
+    (:func:`minhash_probe_increment`) instead of re-scanning 100 TB of
+    text. The layout mirrors ``write_ivf_index``: band partitioning
+    bounds file sizes and lets a band-restricted probe prune at the
+    scan."""
+    from ..sources.tables import write_table
+
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    sig = minhash_signatures(
+        df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
+        hash_mode=hash_mode,
+    )
+    write_table(
+        _band_rows(sig, k, bands, id_col),
+        path,
+        fmt=fmt,
+        mode=write_mode,
+        partition_by="band",
+    )
+
+
+def minhash_probe_increment(
+    spark: SparkSession,
+    index_path: str,
+    increment: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    max_bucket: int | None = 500,
+    hash_mode: str = "xxh64",
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs (id_a, id_b, est_jaccard)
+    touching at least one INCREMENT doc, against a corpus indexed by
+    :func:`write_minhash_index` — without re-shingling or re-hashing
+    one byte of corpus text. Given the same (k, bands, n, seed,
+    hash_mode) and id-disjoint inputs, the result set EQUALS
+    ``minhash_lsh_pairs(corpus ∪ increment)`` restricted to pairs with
+    an increment member (tested).
+
+    Scale shape: only the increment is signatured (one groupBy over its
+    shingles); the corpus side is a column-pruned scan of the index.
+    The cross join broadcasts the banded increment (a daily batch is
+    small next to the corpus — set ``broadcast_increment=False`` when
+    it isn't), so the index NEVER shuffles; increment-internal pairs
+    reuse the batch operator's self-join on the tiny side. The
+    ``max_bucket`` hot-bucket cap counts corpus + increment members
+    per bucket — identical semantics to the one-shot operator — via a
+    (band, bucket)-only scan of the index, no signatures or text on
+    that wire. Corpus-internal pairs are by construction absent: they
+    were resolved when the index was built.
+
+    Contract: increment ids must be disjoint from corpus ids (same
+    single-id-space rule as ``deterministic_negatives``); a shared id
+    would silently self-pair and be dropped by the a<b guard."""
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    idx = spark.read.format("parquet").load(index_path)
+    inc_sig = minhash_signatures(
+        increment, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
+        hash_mode=hash_mode,
+    )
+    inc_bands = _band_rows(inc_sig, k, bands, id_col)
+    if max_bucket is not None:
+        counts = (
+            idx.select("band", "bucket")
+            .unionByName(inc_bands.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") > max_bucket)
+            .select("band", "bucket")
+        )
+        hot = F.broadcast(counts)
+        idx = idx.join(hot, on=["band", "bucket"], how="left_anti")
+        inc_bands = inc_bands.join(hot, on=["band", "bucket"], how="left_anti")
+    probe = inc_bands.select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("__id_i"),
+        F.col("signature").alias("__sig_i"),
+    )
+    if broadcast_increment:
+        probe = F.broadcast(probe)
+    cross = (
+        idx.select(
+            "band",
+            "bucket",
+            F.col(id_col).alias("__id_c"),
+            F.col("signature").alias("__sig_c"),
+        )
+        .join(probe, on=["band", "bucket"])
+        .where(F.col("__id_i") != F.col("__id_c"))
+        .select(
+            F.least("__id_i", "__id_c").alias("id_a"),
+            F.greatest("__id_i", "__id_c").alias("id_b"),
+            # est is symmetric — no need to reorder the signatures
+            _est_jaccard(F.col("__sig_i"), F.col("__sig_c"), k).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    a, b = inc_bands.alias("a"), inc_bands.alias("b")
+    if broadcast_increment:
+        # the self-join is increment × increment — broadcast one side so
+        # no signature array ever rides a shuffle (plan-asserted)
+        b = F.broadcast(b)
+    self_pairs = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            _est_jaccard(F.col("a.signature"), F.col("b.signature"), k).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    return (
+        cross.unionByName(self_pairs)
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # -- cross-set contamination (benchmark decontamination) -------------------------

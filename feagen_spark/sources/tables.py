@@ -99,3 +99,108 @@ def write_table(
     if partition_by:
         w = w.partitionBy(partition_by)
     w.format(fmt).save(location)
+
+
+def compact_table(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    sort_cols: tuple[str, ...] | None = None,
+    min_files_saved: int = 2,
+) -> dict:
+    """Small-file compaction for a path-backed table — the layout
+    maintenance every long-running ingestion needs: incremental /
+    streaming / dynamic-partition writers accrete files far below the
+    scan-efficient size, and at 100 TB the resulting per-file open +
+    footer-read overhead (plus driver listing memory) dominates scan
+    cost long before data volume does.
+
+    Sizing is measured, not guessed: one recursive Hadoop listing
+    (works on HDFS/S3A/local alike) gives total DATA bytes + file count
+    — metadata files (``_SUCCESS``, hidden ``.crc``) are excluded, so
+    the no-op threshold and the target ``ceil(bytes /
+    target_file_bytes)`` file count reflect real data files only. Two
+    rewrite strategies:
+
+    - default: ``coalesce(n)`` — merges partitions MAP-SIDE, no
+      Exchange; pure read+write, the cheapest possible compaction.
+    - ``sort_cols``: ``repartitionByRange + sortWithinPartitions`` —
+      pays one range exchange and buys range-clustered files whose
+      parquet min/max footers prune scans on those columns (the
+      poor-man's Z-order for a single sort dimension).
+
+    The swap is the checkpoint store's rename discipline: staging write
+    completes first (a full Spark action), then old → aside, staging →
+    live, aside deleted; any failure restores the original. Renames are
+    atomic on HDFS/local — on S3 proper, compact into a NEW location
+    and flip the catalog pointer (or use Iceberg's rewrite_data_files)
+    instead of in-place renames.
+
+    Returns ``{"files_before", "bytes", "files_after", "rewritten"}``;
+    a no-op (savings below ``min_files_saved``) reports rewritten=False
+    and touches nothing."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(location)
+    fs = live.getFileSystem(hconf)
+
+    def _data_stats(path) -> tuple[int, int]:
+        # recursive listing, metadata files excluded — the same files a
+        # scan would read. Negligible next to the rewrite it gates.
+        total = 0
+        count = 0
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            total += int(st.getLen())
+            count += 1
+        return total, count
+
+    total, files_before = _data_stats(live)
+    n_files = max(1, -(-total // int(target_file_bytes)))
+    report = {
+        "files_before": files_before,
+        "bytes": total,
+        "files_after": files_before,
+        "rewritten": False,
+    }
+    if files_before - n_files < min_files_saved:
+        return report
+    df = spark.read.format(fmt).load(location)
+    if sort_cols:
+        out = df.repartitionByRange(
+            n_files, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(n_files)
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    staging = jvm.org.apache.hadoop.fs.Path(f"{location}.compact-{token}")
+    aside = jvm.org.apache.hadoop.fs.Path(f"{location}.old-{token}")
+    try:
+        out.write.mode("overwrite").format(fmt).save(str(staging))
+        if not fs.rename(live, aside):
+            raise IOError(f"compact_table: cannot move {location} aside")
+        try:
+            if not fs.rename(staging, live):
+                raise IOError(
+                    f"compact_table: cannot move staging into {location}"
+                )
+        except BaseException:
+            # restore the original before surfacing the failure
+            if not fs.exists(live):
+                fs.rename(aside, live)
+            raise
+    except BaseException:
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        raise
+    fs.delete(aside, True)
+    report["files_after"] = _data_stats(live)[1]
+    report["rewritten"] = True
+    return report

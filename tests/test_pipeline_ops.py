@@ -175,6 +175,78 @@ def test_minhash_estimate_close_to_exact(docs):
     assert abs(est[(1, 3)] - exact) < 0.2  # 64-perm estimator tolerance
 
 
+def test_minhash_probe_increment_equals_batch_restriction(spark, tmp_path):
+    """The incremental path (persisted banded index + probe of a new
+    batch) must return EXACTLY the one-shot operator's pairs restricted
+    to pairs touching an increment doc — same est values."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog it is a test",
+        2: "the quick brown fox jumps over the lazy dog it is a test",
+        3: "der hund und die katze der ist gut und der bleibt hier",
+        4: "completely different content about spark window functions",
+        # increment: a dup of corpus doc 1, a dup of increment doc 41,
+        # and an unrelated doc
+        41: "the quick brown fox jumps over the lazy dog it is a test!",
+        42: "the quick brown fox jumps over the lazy dog it is a test!",
+        43: "unrelated increment text about parquet footers and pruning",
+    }
+    full = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    corpus = full.where(F.col("doc_id") < 40)
+    inc = full.where(F.col("doc_id") >= 40)
+    kw = dict(k=32, bands=8, threshold=0.5)
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(full, **kw).collect()
+    }
+    expected = {p: v for p, v in batch.items() if p[0] >= 40 or p[1] >= 40}
+    assert expected, batch  # the fixture must exercise cross + self pairs
+    assert any(a < 40 for a, _ in expected)   # cross corpus-increment
+    assert any(a >= 40 for a, _ in expected)  # increment-internal
+
+    idx_path = str(tmp_path / "mh_index")
+    D.write_minhash_index(corpus, idx_path, k=32, bands=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_probe_increment(
+            spark, idx_path, inc, **kw
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_probe_increment_hot_bucket_parity(spark, tmp_path):
+    """max_bucket must count corpus + increment members per bucket —
+    identical semantics to the one-shot operator under a cap that
+    actually fires (template-heavy docs share every band)."""
+    tpl = "all work and no play makes jack a dull boy number %d"
+    rows = [(i, tpl % 0) for i in range(20)]          # one giant template cluster
+    rows += [(100 + i, tpl % 0) for i in range(3)]    # increment joins the cluster
+    rows += [(200, "something entirely else with no template at all")]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = full.where(F.col("doc_id") < 100)
+    inc = full.where(F.col("doc_id") >= 100)
+    kw = dict(k=16, bands=4, threshold=0.5, max_bucket=10)
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(full, **kw).collect()
+    }
+    expected = {p: v for p, v in batch.items() if p[0] >= 100 or p[1] >= 100}
+
+    idx_path = str(tmp_path / "mh_index")
+    D.write_minhash_index(corpus, idx_path, k=16, bands=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_probe_increment(
+            spark, idx_path, inc, **kw
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_minhash_dict_hash_bit_identical(docs):
     # dict_hash hashes the DISTINCT shingle domain once and joins back;
     # it must be bit-identical to per-occurrence hashing in both modes

@@ -496,6 +496,30 @@ def test_semantic_dedup_drop_distinct_carries_id_only(spark):
         assert "embedding" not in b["input"], b
 
 
+def test_minhash_probe_increment_index_never_shuffles(spark, tmp_path):
+    """Incremental dedup's whole point: the persisted corpus index is
+    consumed by a broadcast join, map-only — no shuffle Exchange may
+    carry a signature array (the hot-bucket count exchange carries
+    (band, bucket) scalars; the pair distinct carries ids + est; the
+    increment's own signature groupBy shuffles shingle hashes)."""
+    from feagen_spark.operators import dedup as D
+
+    rows = [(i, f"document number {i} with some shared words") for i in range(20)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(100, "a new increment document with some shared words")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "mh_index")
+    D.write_minhash_index(corpus, idx_path, k=16, bands=4)
+    out = D.minhash_probe_increment(spark, idx_path, inc, k=16, bands=4)
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    for b in _exchange_blocks(plan):
+        assert "signature" not in b["input"], b
+        assert "__sig" not in b["input"], b
+
+
 def test_lsh_plan_construction_is_action_free(spark):
     """With dim= passed, building the LSH plans must run ZERO Spark jobs
     (VERDICT r3 #2: the 1-row dimension-sniff job exists only as the

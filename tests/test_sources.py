@@ -101,3 +101,90 @@ def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
         ev, ["n_so_far"]
     )
     assert out.count() == 100
+
+
+# -- compact_table (small-file layout maintenance) ---------------------------
+
+def _parquet_files(path):
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_table_coalesce(spark, tmp_path):
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "frag")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(32).write.parquet(loc)
+    assert len(_parquet_files(loc)) == 32
+
+    rep = compact_table(spark, loc, target_file_bytes=1 << 30)
+    assert rep["rewritten"] is True
+    assert rep["files_before"] >= 32
+    got = _parquet_files(loc)
+    assert len(got) == 1
+    df = spark.read.parquet(loc)
+    assert df.count() == 10_000
+    assert df.agg(F.sum(F.col("id").cast("decimal(38,0)"))).first()[0] == (
+        9999 * 10_000 // 2
+    )
+    # no stranded staging/aside dirs
+    leftovers = [p for p in tmp_path.iterdir() if p.name != "frag"]
+    assert not leftovers, leftovers
+
+
+def test_compact_table_sorted_files_do_not_overlap(spark, tmp_path):
+    """sort_cols compaction must produce range-clustered files: parquet
+    min/max footers on the sort column prune scans only if per-file id
+    ranges are disjoint."""
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "frag")
+    # ~24 KB/file of int rows -> a small target yields several files
+    spark.range(60_000).repartition(16).write.parquet(loc)
+    rep = compact_table(
+        spark, loc, target_file_bytes=100_000, sort_cols=("id",)
+    )
+    assert rep["rewritten"] is True
+    files = _parquet_files(loc)
+    assert 1 < len(files) < 16
+    ranges = []
+    for f in files:
+        a = spark.read.parquet(f).agg(F.min("id"), F.max("id")).first()
+        ranges.append((a[0], a[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    assert spark.read.parquet(loc).count() == 60_000
+
+
+def test_compact_table_noop_below_savings(spark, tmp_path):
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "small")
+    spark.range(100).coalesce(1).write.parquet(loc)
+    before = _parquet_files(loc)
+    rep = compact_table(spark, loc, target_file_bytes=1 << 30)
+    assert rep["rewritten"] is False
+    assert _parquet_files(loc) == before
+
+
+def test_compact_table_write_failure_leaves_original(spark, tmp_path):
+    import pytest as _pytest
+
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "frag")
+    spark.range(1_000).repartition(8).write.parquet(loc)
+    with _pytest.raises(Exception):
+        compact_table(
+            spark, loc, target_file_bytes=1 << 30, sort_cols=("no_such_col",)
+        )
+    # original table intact, staging cleaned up
+    assert spark.read.parquet(loc).count() == 1_000
+    assert len(_parquet_files(loc)) == 8
+    leftovers = [p for p in tmp_path.iterdir() if p.name != "frag"]
+    assert not leftovers, leftovers
