@@ -634,7 +634,7 @@ def seed_centroids(
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
-    )
+    )  # slow-path-ok: bounded by .limit(n_centroids) above
     X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
