@@ -703,8 +703,50 @@ def q_doc_tfidf(spark, sf_dir):
 
 
 def q_doc_ngram_pairs(spark, sf_dir):
+    """Two legs over the doc_id % 5 == 0 subset (merged r6 so the
+    incremental-dedup path gets driver-artifact evidence inside the
+    50-entry cap):
+
+    - ``ngram``: exact n-gram Jaccard pairs (τ=0.5), unchanged.
+    - ``minhash_incr``: the PERSISTED-INDEX path — the subset splits
+      into corpus (odd multiples of 5) and increment (multiples of 10);
+      ``write_minhash_index`` banding the corpus once, then
+      ``minhash_probe_increment`` probing only the increment against it
+      (md5 mode, same τ=0.8 / max_bucket=200 operating point as
+      doc_minhash_pairs). By the tested restriction property, the probe
+      result EQUALS the one-shot operator over the union restricted to
+      increment-touching pairs — which is exactly what the DuckDB
+      oracle recomputes end-to-end (signatures, bands, cap, est)."""
+    import hashlib
+    import os
+    import tempfile
+
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    ngram = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("sim"),
+        F.lit("ngram").alias("leg"),
+    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"feagen_mh_index_{tag}"
+    )
+    D.write_minhash_index(
+        corpus, idx_path, k=32, bands=8, n=3, hash_mode="md5"
+    )
+    probe = D.minhash_probe_increment(
+        spark, idx_path, inc, k=32, bands=8, n=3, threshold=0.8,
+        max_bucket=200, hash_mode="md5",
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").alias("sim"),
+        F.lit("minhash_incr").alias("leg"),
+    )
+    return ngram.unionByName(probe)
 
 
 def q_doc_contamination(spark, sf_dir):
@@ -2204,7 +2246,9 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE jaccard >= {threshold}
     """
 
-    sql["doc_ngram_pairs"] = ngram_pairs_sql(0.5)
+    # (doc_ngram_pairs is assigned below, after minhash_pairs_sql is
+    # defined — the r6 entry unions the exact-Jaccard leg with the
+    # incremental-index probe leg.)
 
     # connected components as a recursive transitive-closure CTE over
     # the same exact-Jaccard pair set: reach(v) = every vertex reachable
@@ -2326,9 +2370,10 @@ def oracle_sql() -> dict[str, str]:
     _mh_eq = " + ".join(
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(32)
     )
-    sql["doc_minhash_pairs"] = f"""
+    def minhash_pairs_sql(where: str = "TRUE") -> str:
+        return f"""
         WITH d AS (
-            SELECT doc_id, {_NORM} AS t FROM documents
+            SELECT doc_id, {_NORM} AS t FROM documents WHERE {where}
         ), sh AS (
             SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
@@ -2365,6 +2410,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sa ON sa.doc_id = id_a
             JOIN sig sb ON sb.doc_id = id_b
         ) WHERE est_jaccard >= 0.8
+    """
+
+    sql["doc_minhash_pairs"] = minhash_pairs_sql()
+
+    # doc_ngram_pairs r6: exact-Jaccard leg + the incremental-index leg.
+    # The probe path (corpus index + increment probe) provably equals
+    # the one-shot MinHash operator over the union restricted to pairs
+    # touching an increment doc (tests/test_pipeline_ops.py parity,
+    # incl. the hot-bucket cap counting corpus+increment), so the
+    # oracle is the SAME end-to-end SQL recompute over the %5 subset,
+    # restricted to multiples of 10.
+    sql["doc_ngram_pairs"] = f"""
+        SELECT id_a, id_b, jaccard AS sim, 'ngram' AS leg
+        FROM ({ngram_pairs_sql(0.5)})
+        UNION ALL
+        SELECT id_a, id_b, est_jaccard AS sim, 'minhash_incr' AS leg
+        FROM ({minhash_pairs_sql("doc_id % 5 = 0")})
+        WHERE id_a % 10 = 0 OR id_b % 10 = 0
     """
 
     # recall oracle: the LSH operating point (k=64, bands=32) catches a
