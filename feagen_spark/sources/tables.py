@@ -130,6 +130,16 @@ def compact_table(
       parquet min/max footers prune scans on those columns (the
       poor-man's Z-order for a single sort dimension).
 
+    Hive-partitioned layouts (``key=value`` subdirs — the
+    ``write_minhash_index`` / ``write_ivf_index`` shape) are detected
+    from the directory tree and PRESERVED: the rewrite hash-partitions
+    on the partition columns and writes with ``partitionBy``, emitting
+    ONE file per partition value — so PartitionFilters pruning survives
+    compaction. Pick partition granularity so one value stays ≲
+    ``target_file_bytes`` (true for band/centroid indexes by
+    construction). ``sort_cols`` then sorts within each partition
+    value.
+
     The swap is the checkpoint store's rename discipline: staging write
     completes first (a full Spark action), then old → aside, staging →
     live, aside deleted; any failure restores the original. Renames are
@@ -145,11 +155,14 @@ def compact_table(
     live = jvm.org.apache.hadoop.fs.Path(location)
     fs = live.getFileSystem(hconf)
 
-    def _data_stats(path) -> tuple[int, int]:
+    def _data_stats(path) -> tuple[int, int, int]:
         # recursive listing, metadata files excluded — the same files a
         # scan would read. Negligible next to the rewrite it gates.
+        # Also counts distinct leaf dirs (= partition values when the
+        # layout is hive-partitioned).
         total = 0
         count = 0
+        parents = set()
         it = fs.listFiles(path, True)
         while it.hasNext():
             st = it.next()
@@ -158,20 +171,47 @@ def compact_table(
                 continue
             total += int(st.getLen())
             count += 1
-        return total, count
+            parents.add(str(st.getPath().getParent()))
+        return total, count, len(parents)
 
-    total, files_before = _data_stats(live)
-    n_files = max(1, -(-total // int(target_file_bytes)))
+    def _partition_cols(path) -> list[str]:
+        # walk key=value subdir levels top-down; column order matters
+        cols: list[str] = []
+        while True:
+            subs = [
+                st
+                for st in fs.listStatus(path)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].getPath().getName().split("=", 1)[0])
+            path = subs[0].getPath()
+
+    total, files_before, n_leaf_dirs = _data_stats(live)
+    part_cols = _partition_cols(live)
+    if part_cols:
+        n_files = n_leaf_dirs  # one file per partition value
+    else:
+        n_files = max(1, -(-total // int(target_file_bytes)))
     report = {
         "files_before": files_before,
         "bytes": total,
         "files_after": files_before,
         "rewritten": False,
+        "partition_cols": part_cols,
     }
     if files_before - n_files < min_files_saved:
         return report
     df = spark.read.format(fmt).load(location)
-    if sort_cols:
+    if part_cols:
+        # hash-partition on the partition columns: every value lands in
+        # exactly one task, so partitionBy emits one file per value and
+        # the key=value layout (and its PartitionFilters) is preserved
+        out = df.repartition(*[F.col(c) for c in part_cols])
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+    elif sort_cols:
         out = df.repartitionByRange(
             n_files, *[F.col(c) for c in sort_cols]
         ).sortWithinPartitions(*sort_cols)
@@ -183,7 +223,10 @@ def compact_table(
     staging = jvm.org.apache.hadoop.fs.Path(f"{location}.compact-{token}")
     aside = jvm.org.apache.hadoop.fs.Path(f"{location}.old-{token}")
     try:
-        out.write.mode("overwrite").format(fmt).save(str(staging))
+        w = out.write.mode("overwrite").format(fmt)
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.save(str(staging))
         if not fs.rename(live, aside):
             raise IOError(f"compact_table: cannot move {location} aside")
         try:
@@ -202,5 +245,6 @@ def compact_table(
         raise
     fs.delete(aside, True)
     report["files_after"] = _data_stats(live)[1]
+    report["partition_cols"] = part_cols
     report["rewritten"] = True
     return report

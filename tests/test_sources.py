@@ -161,6 +161,44 @@ def test_compact_table_sorted_files_do_not_overlap(spark, tmp_path):
     assert spark.read.parquet(loc).count() == 60_000
 
 
+def test_compact_table_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a key=value-partitioned layout (the minhash/IVF index
+    shape) must keep the directory structure — one data file per
+    partition value — or PartitionFilters pruning dies with the
+    rewrite."""
+    import glob
+    import os
+
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "idx")
+    (
+        spark.range(4_000)
+        .select(F.col("id"), (F.col("id") % 4).alias("band"))
+        .repartition(8)
+        .write.partitionBy("band")
+        .parquet(loc)
+    )
+    before = glob.glob(os.path.join(loc, "band=*", "*.parquet"))
+    assert len(before) > 8  # several files per band value
+
+    rep = compact_table(spark, loc, target_file_bytes=1 << 30)
+    assert rep["rewritten"] is True
+    assert rep["partition_cols"] == ["band"]
+    band_dirs = sorted(
+        p for p in os.listdir(loc) if p.startswith("band=")
+    )
+    assert band_dirs == ["band=0", "band=1", "band=2", "band=3"]
+    for d in band_dirs:
+        files = glob.glob(os.path.join(loc, d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+    df = spark.read.parquet(loc)
+    assert df.count() == 4_000
+    assert df.where(F.col("band") == 2).count() == 1_000
+    got = df.agg(F.sum(F.col("id").cast("decimal(38,0)"))).first()[0]
+    assert got == 3999 * 4_000 // 2
+
+
 def test_compact_table_noop_below_savings(spark, tmp_path):
     from feagen_spark.sources.tables import compact_table
 
