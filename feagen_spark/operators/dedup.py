@@ -362,6 +362,7 @@ def write_minhash_index(
     hash_mode: str = "xxh64",
     fmt: str = "parquet",
     write_mode: str = "overwrite",
+    ingest_batch: int | None = None,
 ) -> None:
     """Materialize the banded MinHash index of a deduplicated corpus:
     one row per (doc, band) carrying (id, signature, band, bucket),
@@ -371,7 +372,15 @@ def write_minhash_index(
     (:func:`minhash_probe_increment`) instead of re-scanning 100 TB of
     text. The layout mirrors ``write_ivf_index``: band partitioning
     bounds file sizes and lets a band-restricted probe prune at the
-    scan."""
+    scan.
+
+    ``ingest_batch`` switches to the STREAMING layout: a leading
+    ``ingest_batch=<n>`` partition level (this base build uses the
+    given value, conventionally -1) that
+    :func:`feagen_spark.streaming.incremental.streaming_ingest_dedup`
+    appends per-micro-batch partitions into — partition depth must be
+    uniform under one table root, so a streamed index must be
+    bootstrapped with this parameter set."""
     from ..sources.tables import write_table
 
     if k % bands != 0:
@@ -380,12 +389,17 @@ def write_minhash_index(
         df, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
         hash_mode=hash_mode,
     )
+    rows = _band_rows(sig, k, bands, id_col)
+    part_by: list[str] | str = "band"
+    if ingest_batch is not None:
+        rows = rows.withColumn("ingest_batch", F.lit(int(ingest_batch)))
+        part_by = ["ingest_batch", "band"]
     write_table(
-        _band_rows(sig, k, bands, id_col),
+        rows,
         path,
         fmt=fmt,
         mode=write_mode,
-        partition_by="band",
+        partition_by=part_by,
     )
 
 
@@ -403,6 +417,8 @@ def minhash_probe_increment(
     max_bucket: int | None = 500,
     hash_mode: str = "xxh64",
     broadcast_increment: bool = True,
+    tag_kind: bool = False,
+    index_where: F.Column | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: pairs (id_a, id_b, est_jaccard)
     touching at least one INCREMENT doc, against a corpus indexed by
@@ -426,10 +442,19 @@ def minhash_probe_increment(
 
     Contract: increment ids must be disjoint from corpus ids (same
     single-id-space rule as ``deterministic_negatives``); a shared id
-    would silently self-pair and be dropped by the a<b guard."""
+    would silently self-pair and be dropped by the a<b guard.
+
+    ``tag_kind=True`` adds a ``pair_kind`` column ('cross' = one member
+    indexed, 'intra' = both in the increment) — the keep-policy input
+    for :func:`feagen_spark.streaming.incremental.streaming_ingest_dedup`.
+    ``index_where`` filters the index scan (e.g. on a partition column
+    such as ``ingest_batch`` — replay safety for streaming appenders);
+    partition pruning makes it free."""
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     idx = spark.read.format("parquet").load(index_path)
+    if index_where is not None:
+        idx = idx.where(index_where)
     inc_sig = minhash_signatures(
         increment, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
         hash_mode=hash_mode,
@@ -473,6 +498,8 @@ def minhash_probe_increment(
             ),
         )
     )
+    if tag_kind:
+        cross = cross.withColumn("pair_kind", F.lit("cross"))
     a, b = inc_bands.alias("a"), inc_bands.alias("b")
     if broadcast_increment:
         # the self-join is increment × increment — broadcast one side so
@@ -489,6 +516,8 @@ def minhash_probe_increment(
             ),
         )
     )
+    if tag_kind:
+        self_pairs = self_pairs.withColumn("pair_kind", F.lit("intra"))
     return (
         cross.unionByName(self_pairs)
         .where(F.col("est_jaccard") >= threshold)

@@ -42,6 +42,26 @@ def refresh_conversations(
     return engine.generate(slice_df, list(requested))
 
 
+def _dynamic_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: only the partitions PRESENT in `df`
+    are rewritten — the idempotent-append primitive shared by the
+    refresh snapshot writer and the streaming ingest-dedup sinks (a
+    replayed batch overwrites exactly its own partitions)."""
+    spark = df.sparkSession
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_refresh(
     refreshed: DataFrame,
     snapshot_path: str,
@@ -50,18 +70,7 @@ def write_refresh(
 ) -> None:
     """Dynamic partition overwrite of the refreshed conversations into a
     key-partitioned snapshot table (only touched partitions rewritten)."""
-    spark = refreshed.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            refreshed.write.mode("overwrite")
-            .partitionBy(key)
-            .format(fmt)
-            .save(snapshot_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _dynamic_overwrite(refreshed, snapshot_path, key, fmt=fmt)
 
 
 def corpus_diff(

@@ -81,7 +81,7 @@ def write_table(
     fmt: str = "parquet",
     mode: str = "overwrite",
     bucket_by: tuple[int, str] | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> None:
     """Write a table with the scale-default layout. bucket_by requires a
     saveAsTable-capable catalog (Iceberg/HMS); plain parquet paths fall

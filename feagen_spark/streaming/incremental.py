@@ -386,6 +386,124 @@ def streaming_decayed_sum(
     )
 
 
+def streaming_ingest_dedup(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    max_bucket: int | None = 500,
+    hash_mode: str = "xxh64",
+):
+    """Continuous-ingest near-dup deduplication: each micro-batch of new
+    documents is probed against the PERSISTED MinHash index
+    (``dedup.write_minhash_index(..., ingest_batch=-1)`` bootstraps it
+    from the existing corpus — or start cold with no index), near-dups
+    are dropped, and the survivors' band rows are appended to the index
+    so LATER batches dedup against them too. The streaming state is the
+    on-disk index itself — restart-safe by construction, zero in-memory
+    streaming state, no watermark needed (dedup never expires).
+
+    Keep policy (deterministic):
+
+    - a batch doc matching ANY indexed doc (``pair_kind='cross'``) is
+      dropped — the corpus always wins;
+    - of a batch-internal pair (``'intra'``, ids a<b) the GREATER id is
+      dropped, regardless of whether the lesser id itself survives
+      (greedy rule — no transitive clustering inside one batch; run the
+      batch `connected_components` pipeline when star-shaped intra
+      clusters must collapse to one representative).
+
+    Exactly-once: both sinks are ``ingest_batch``-partitioned and
+    written with DYNAMIC partition overwrite keyed on the foreachBatch
+    ``batch_id``, so a replayed batch overwrites its own partitions
+    bit-identically; the probe filters the index to
+    ``ingest_batch < batch_id`` so a half-written replay partition can
+    never feed pairs back into its own batch's decisions.
+
+    Scale shape: per batch, only the increment's text is shingled; the
+    index side is a column-pruned parquet scan joined against the
+    BROADCAST banded batch (the index never shuffles — same plan as the
+    batch probe). Returns the configured ``DataStreamWriter`` — attach
+    a checkpoint + trigger and ``start()``.
+
+    Contract: ``id_col`` must be one non-null id space across corpus
+    and all batches (shared ids would self-pair and silently vanish)."""
+    from ..operators import dedup as D
+    from ..operators.incremental import _dynamic_overwrite
+
+    def _index_has_data(spark, path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return False
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not (name.startswith("_") or name.startswith(".")):
+                return True
+        return False
+
+    mh_kw = dict(
+        k=k, bands=bands, n=n, id_col=id_col, text_col=text_col,
+        seed=seed, max_bucket=max_bucket, hash_mode=hash_mode,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if _index_has_data(spark, index_path):
+            pairs = D.minhash_probe_increment(
+                spark, index_path, batch, threshold=threshold,
+                tag_kind=True,
+                index_where=F.col("ingest_batch") < F.lit(int(batch_id)),
+                **mh_kw,
+            )
+        else:
+            # cold start: no corpus yet — batch-internal dedup only
+            pairs = D.minhash_lsh_pairs(
+                batch, threshold=threshold, **mh_kw
+            ).withColumn("pair_kind", F.lit("intra"))
+        batch_ids = batch.select(id_col)
+        cross_ids = (
+            pairs.where(F.col("pair_kind") == "cross")
+            .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            # disjoint id spaces: the semi-join keeps the batch member
+            .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
+        )
+        intra_ids = pairs.where(F.col("pair_kind") == "intra").select(
+            F.col("id_b").alias(id_col)
+        )
+        drop = cross_ids.unionByName(intra_ids).distinct()
+        # pin the keep decision: the index write below adds this batch's
+        # partition, and without the checkpoint the corpus write would
+        # re-run the probe against an index that now contains it
+        # (index_where guards correctness, the checkpoint guards cost)
+        kept = batch.join(
+            F.broadcast(drop), on=id_col, how="left_anti"
+        ).localCheckpoint()
+        sig = D.minhash_signatures(
+            kept, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
+            hash_mode=hash_mode,
+        )
+        rows = D._band_rows(sig, k, bands, id_col).withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        _dynamic_overwrite(rows, index_path, ["ingest_batch", "band"])
+        _dynamic_overwrite(
+            kept.withColumn("ingest_batch", F.lit(int(batch_id))),
+            corpus_path,
+            ["ingest_batch"],
+        )
+
+    return stream.writeStream.foreachBatch(_process)
+
+
 def run_available_now(
     query_df: DataFrame, name: str, checkpoint: str, output_mode: str = "update"
 ):

@@ -451,3 +451,111 @@ def test_streaming_asof_state_null_ts_does_not_poison_state(spark, tmp_path):
     # the row AFTER the null ts still sees fresh, unexpired state
     assert got.loc[3, "prev_role"] == "tool"
     assert got.loc[3, "last_tool"] == "search"
+
+
+# -- streaming continuous-ingest dedup ---------------------------------------
+
+def _drain_ingest_dedup(spark, stream, idx, out, ck, **kw):
+    from feagen_spark.streaming.incremental import streaming_ingest_dedup
+
+    q = (
+        streaming_ingest_dedup(stream, idx, out, **kw)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_ingest_dedup_two_batches(spark, tmp_path):
+    """The on-disk index IS the streaming state: batch 2 must dedup
+    against batch 1's survivors (cross-batch) as well as the
+    bootstrapped corpus, and batch-internal pairs drop the greater id."""
+    from feagen_spark.operators import dedup as D
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "some completely different base corpus text right here"),
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus_out")
+    D.write_minhash_index(corpus, idx, k=16, bands=4, ingest_batch=-1)
+
+    b1 = [
+        (101, base[0][1]),  # dup of corpus doc 1 -> drop (cross)
+        (102, "fresh unique text about spark structured streaming"),
+        (103, "internal duplicate content alpha beta gamma delta"),
+        (104, "internal duplicate content alpha beta gamma delta"),  # intra, greater -> drop
+    ]
+    b2 = [
+        (201, b1[1][1]),    # dup of batch-1 survivor 102 -> drop (index state)
+        (202, "another new unique document nothing like the rest"),
+        (203, base[1][1]),  # dup of corpus doc 2 -> drop (cross)
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain_ingest_dedup(
+        spark, stream, idx, out, str(tmp_path / "ck"),
+        k=16, bands=4, threshold=0.7,
+    )
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {102, 103, 202}
+    idx_df = spark.read.parquet(idx)
+    idx_ids = {
+        r["doc_id"] for r in idx_df.select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 102, 103, 202}
+    # per-batch partitions: base=-1, two micro-batches 0/1
+    batches = {
+        r["ingest_batch"]
+        for r in idx_df.select("ingest_batch").distinct().collect()
+    }
+    assert batches == {-1, 0, 1}
+
+
+def test_streaming_ingest_dedup_cold_start(spark, tmp_path):
+    """No bootstrapped index: the first batch dedups internally and
+    CREATES the index; the second batch dedups against it."""
+    b1 = [
+        (11, "cold start duplicate content one two three four five"),
+        (12, "cold start duplicate content one two three four five"),  # intra -> drop
+        (13, "something else entirely for the cold start batch here"),
+    ]
+    b2 = [
+        (21, b1[0][1]),  # dup of surviving 11 -> drop
+        (22, "genuinely new second batch document in the cold stream"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus_out")
+    _drain_ingest_dedup(
+        spark, stream, idx, out, str(tmp_path / "ck"),
+        k=16, bands=4, threshold=0.7,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {11, 13, 22}
