@@ -459,7 +459,15 @@ def minhash_probe_increment(
         increment, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
         hash_mode=hash_mode,
     )
-    inc_bands = _band_rows(inc_sig, k, bands, id_col)
+    # pin the increment's banded signatures: FOUR consumers below (the
+    # cross-join probe, both sides of the self-join, the hot-bucket
+    # count) would otherwise re-run the shingle→signature aggregate
+    # wherever Catalyst fails to reuse the exchange. The increment is
+    # bounded by contract (it gets broadcast), so the checkpoint is a
+    # few MB; lazy, so plan-building stays action-free.
+    inc_bands = _band_rows(inc_sig, k, bands, id_col).localCheckpoint(
+        eager=False
+    )
     if max_bucket is not None:
         counts = (
             idx.select("band", "bucket")

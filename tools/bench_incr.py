@@ -61,6 +61,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--scale",
+        type=int,
+        default=20,
+        help="corpus replication factor (max 26): sf0.1 has only 5k "
+        "docs, where per-job overhead hides the shingle-cost asymmetry "
+        "the operator exists for; each doc becomes `scale` variants "
+        "under distinct Caesar shifts — shingle sets are disjoint "
+        "ACROSS variants (no synthetic dup cliques) while the corpus's "
+        "own template-dup structure is preserved WITHIN each variant — "
+        "same synthesis spirit as tools/bench_skew*.py",
+    )
     args = ap.parse_args()
 
     from feagen_spark.operators import dedup as D
@@ -70,12 +82,29 @@ def main() -> None:
     spark = get_spark(
         master="local[32]", shuffle_partitions=32, app_name="bench_incr"
     )
+    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if not 1 <= args.scale <= 26:
+        raise SystemExit("--scale must be in [1, 26] (distinct shifts)")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shifted = F.translate(F.col("text"), alpha, alpha)
+    for r in range(1, args.scale):
+        shifted = F.when(
+            F.col("__rep") == r,
+            F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r]),
+        ).otherwise(shifted)
     docs = (
-        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-        .select("doc_id", "text")
+        base.crossJoin(
+            spark.range(args.scale).select(F.col("id").alias("__rep"))
+        )
+        .select(
+            (F.col("doc_id") * args.scale + F.col("__rep")).alias("doc_id"),
+            shifted.alias("text"),
+        )
         .repartition(64)  # driver parquet is single-row-group
     )
-    docs.localCheckpoint()  # pin input: every leg reads identical bytes
+    docs = docs.localCheckpoint()  # pin: every leg reads identical bytes
     n_docs = docs.count()
     corpus = docs.where(F.col("doc_id") % 100 != 0)
     inc = docs.where(F.col("doc_id") % 100 == 0)
@@ -135,7 +164,9 @@ batch then costs only its own signatures plus a broadcast probe of the
 band-partitioned index (the index never shuffles — plan-asserted in
 tests/test_plans.py).
 
-sf0.1 documents ({n_docs:,} docs, increment = doc_id % 100 == 0 →
+sf0.1 documents × {args.scale} Caesar-shift variants ({n_docs:,} docs —
+shingle sets disjoint across variants, the corpus's own template-dup
+structure preserved within each; increment = doc_id % 100 == 0 →
 {n_inc:,} docs), k=32 bands=8 τ=0.8 max_bucket=200, local[32],
 best-of-{args.reps}:
 
