@@ -702,6 +702,9 @@ def q_doc_tfidf(spark, sf_dir):
     )
 
 
+_MH_INDEX_DIRS: dict = {}
+
+
 def q_doc_ngram_pairs(spark, sf_dir):
     """Two legs over the doc_id % 5 == 0 subset (merged r6 so the
     incremental-dedup path gets driver-artifact evidence inside the
@@ -717,7 +720,6 @@ def q_doc_ngram_pairs(spark, sf_dir):
       result EQUALS the one-shot operator over the union restricted to
       increment-touching pairs — which is exactly what the DuckDB
       oracle recomputes end-to-end (signatures, bands, cap, est)."""
-    import hashlib
     import os
     import tempfile
 
@@ -730,10 +732,16 @@ def q_doc_ngram_pairs(spark, sf_dir):
     )
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     inc = docs.where(F.col("doc_id") % 10 == 0)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_path = os.path.join(
-        tempfile.gettempdir(), f"feagen_mh_index_{tag}"
-    )
+    # per-PROCESS unique index dir (mkdtemp), cached per sf_dir: a fixed
+    # /tmp path would race concurrent crosscheck/driver runs — one
+    # process's overwrite deleting files under another's lazy scan
+    # (code-review r6)
+    idx_path = _MH_INDEX_DIRS.get(sf_dir)
+    if idx_path is None:
+        idx_path = os.path.join(
+            tempfile.mkdtemp(prefix="feagen_mh_index_"), "idx"
+        )
+        _MH_INDEX_DIRS[sf_dir] = idx_path
     D.write_minhash_index(
         corpus, idx_path, k=32, bands=8, n=3, hash_mode="md5"
     )

@@ -419,6 +419,7 @@ def minhash_probe_increment(
     broadcast_increment: bool = True,
     tag_kind: bool = False,
     index_where: F.Column | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Incremental near-dup detection: pairs (id_a, id_b, est_jaccard)
     touching at least one INCREMENT doc, against a corpus indexed by
@@ -452,9 +453,6 @@ def minhash_probe_increment(
     partition pruning makes it free."""
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
-    idx = spark.read.format("parquet").load(index_path)
-    if index_where is not None:
-        idx = idx.where(index_where)
     inc_sig = minhash_signatures(
         increment, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
         hash_mode=hash_mode,
@@ -468,6 +466,38 @@ def minhash_probe_increment(
     inc_bands = _band_rows(inc_sig, k, bands, id_col).localCheckpoint(
         eager=False
     )
+    return probe_band_rows(
+        spark, index_path, inc_bands, k=k, threshold=threshold,
+        id_col=id_col, max_bucket=max_bucket,
+        broadcast_increment=broadcast_increment, tag_kind=tag_kind,
+        index_where=index_where, fmt=fmt,
+    )
+
+
+def probe_band_rows(
+    spark: SparkSession,
+    index_path: str,
+    inc_bands: DataFrame,
+    k: int = 32,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 500,
+    broadcast_increment: bool = True,
+    tag_kind: bool = False,
+    index_where: F.Column | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """The band-rows-level half of :func:`minhash_probe_increment`, for
+    callers that already hold the increment's banded signatures (the
+    streaming ingest loop computes them ONCE per batch and reuses the
+    same frame for both the probe and the index append — shingling the
+    batch twice per trigger was the cost the split removes,
+    code-review r6). ``inc_bands`` must carry (id, signature, band,
+    bucket) produced by the same (k, bands, n, seed, hash_mode) as the
+    index, ideally pinned (localCheckpoint) by the caller."""
+    idx = spark.read.format(fmt).load(index_path)
+    if index_where is not None:
+        idx = idx.where(index_where)
     if max_bucket is not None:
         counts = (
             idx.select("band", "bucket")
@@ -508,12 +538,34 @@ def minhash_probe_increment(
     )
     if tag_kind:
         cross = cross.withColumn("pair_kind", F.lit("cross"))
-    a, b = inc_bands.alias("a"), inc_bands.alias("b")
-    if broadcast_increment:
+    self_pairs = band_rows_self_pairs(
+        inc_bands, k, id_col=id_col, broadcast_side=broadcast_increment
+    )
+    if tag_kind:
+        self_pairs = self_pairs.withColumn("pair_kind", F.lit("intra"))
+    return (
+        cross.unionByName(self_pairs)
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def band_rows_self_pairs(
+    band_rows: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    broadcast_side: bool = True,
+) -> DataFrame:
+    """Un-thresholded candidate pairs (a<b) WITHIN one banded set —
+    shared by the probe's intra leg and the streaming cold-start path
+    (both already hold band rows; re-deriving pairs from raw text would
+    shingle the batch a second time)."""
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    if broadcast_side:
         # the self-join is increment × increment — broadcast one side so
         # no signature array ever rides a shuffle (plan-asserted)
         b = F.broadcast(b)
-    self_pairs = (
+    return (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -523,13 +575,6 @@ def minhash_probe_increment(
                 "est_jaccard"
             ),
         )
-    )
-    if tag_kind:
-        self_pairs = self_pairs.withColumn("pair_kind", F.lit("intra"))
-    return (
-        cross.unionByName(self_pairs)
-        .where(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -51,15 +51,20 @@ def _dynamic_overwrite(
     """Dynamic partition overwrite: only the partitions PRESENT in `df`
     are rewritten — the idempotent-append primitive shared by the
     refresh snapshot writer and the streaming ingest-dedup sinks (a
-    replayed batch overwrites exactly its own partitions)."""
-    spark = df.sparkSession
+    replayed batch overwrites exactly its own partitions).
+
+    The mode rides as a PER-WRITE option, not the session conf: two
+    concurrent writers toggling the session-global
+    ``partitionOverwriteMode`` can race one of them into a STATIC
+    overwrite that deletes every existing partition (code-review r6)."""
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .format(fmt)
+        .save(path)
+    )
 
 
 def write_refresh(

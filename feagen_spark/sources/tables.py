@@ -147,19 +147,39 @@ def compact_table(
     and flip the catalog pointer (or use Iceberg's rewrite_data_files)
     instead of in-place renames.
 
+    QUIESCE WRITERS FIRST. A partition appended between the staging
+    read and the swap is moved aside and deleted with the old files —
+    this is offline maintenance, same as every rename-based rewrite;
+    concurrent-writer-safe compaction needs a table format with commit
+    coordination (Iceberg), not a directory swap.
+
     Returns ``{"files_before", "bytes", "files_after", "rewritten"}``;
     a no-op (savings below ``min_files_saved``) reports rewritten=False
     and touches nothing."""
+    # trailing slash would make staging/aside CHILDREN of the live dir
+    # and the swap would move staging along with the table it replaces
+    location = location.rstrip("/") or "/"
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live = jvm.org.apache.hadoop.fs.Path(location)
     fs = live.getFileSystem(hconf)
+    live_uri = str(fs.makeQualified(live))
 
-    def _data_stats(path) -> tuple[int, int, int]:
+    def _part_segments(parent: str) -> tuple[str, ...]:
+        # key=value segments between the table root and a data file
+        rel = parent[len(live_uri):].strip("/")
+        return tuple(
+            s.split("=", 1)[0] for s in rel.split("/") if s and "=" in s
+        )
+
+    def _data_stats(path) -> tuple[int, int, int, list[str]]:
         # recursive listing, metadata files excluded — the same files a
         # scan would read. Negligible next to the rewrite it gates.
-        # Also counts distinct leaf dirs (= partition values when the
-        # layout is hive-partitioned).
+        # Partition columns are inferred from DATA-FILE paths (not by
+        # walking first subdirs: an empty partition dir left by an
+        # aborted writer would truncate the column list and the rewrite
+        # would silently drop a partition level — code-review r6) and
+        # must agree across every file.
         total = 0
         count = 0
         parents = set()
@@ -171,25 +191,17 @@ def compact_table(
                 continue
             total += int(st.getLen())
             count += 1
-            parents.add(str(st.getPath().getParent()))
-        return total, count, len(parents)
+            parents.add(str(fs.makeQualified(st.getPath().getParent())))
+        layouts = {_part_segments(p) for p in parents}
+        if len(layouts) > 1:
+            raise ValueError(
+                f"compact_table: inconsistent partition layouts under "
+                f"{location}: {sorted(layouts)}"
+            )
+        cols = list(layouts.pop()) if layouts else []
+        return total, count, len(parents), cols
 
-    def _partition_cols(path) -> list[str]:
-        # walk key=value subdir levels top-down; column order matters
-        cols: list[str] = []
-        while True:
-            subs = [
-                st
-                for st in fs.listStatus(path)
-                if st.isDirectory() and "=" in st.getPath().getName()
-            ]
-            if not subs:
-                return cols
-            cols.append(subs[0].getPath().getName().split("=", 1)[0])
-            path = subs[0].getPath()
-
-    total, files_before, n_leaf_dirs = _data_stats(live)
-    part_cols = _partition_cols(live)
+    total, files_before, n_leaf_dirs, part_cols = _data_stats(live)
     if part_cols:
         n_files = n_leaf_dirs  # one file per partition value
     else:
@@ -210,7 +222,11 @@ def compact_table(
         # the key=value layout (and its PartitionFilters) is preserved
         out = df.repartition(*[F.col(c) for c in part_cols])
         if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+            # partition cols lead the sort: partitionBy REQUIRES an
+            # ordering on them, and sorting only by sort_cols would let
+            # the planner insert its own (unstable) sort on top,
+            # un-sorting rows within each file (code-review r6)
+            out = out.sortWithinPartitions(*part_cols, *sort_cols)
     elif sort_cols:
         out = df.repartitionByRange(
             n_files, *[F.col(c) for c in sort_cols]

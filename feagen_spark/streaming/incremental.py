@@ -450,25 +450,33 @@ def streaming_ingest_dedup(
                 return True
         return False
 
-    mh_kw = dict(
-        k=k, bands=bands, n=n, id_col=id_col, text_col=text_col,
-        seed=seed, max_bucket=max_bucket, hash_mode=hash_mode,
-    )
-
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # shingle + signature the batch EXACTLY ONCE: the same pinned
+        # band rows feed the probe (or cold-start self-pairs) AND the
+        # index append below (code-review r6 — the first cut hashed the
+        # batch text twice per trigger)
+        sig = D.minhash_signatures(
+            batch, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
+            hash_mode=hash_mode,
+        )
+        inc_bands = D._band_rows(sig, k, bands, id_col).localCheckpoint(
+            eager=False
+        )
         if _index_has_data(spark, index_path):
-            pairs = D.minhash_probe_increment(
-                spark, index_path, batch, threshold=threshold,
-                tag_kind=True,
+            pairs = D.probe_band_rows(
+                spark, index_path, inc_bands, k=k, threshold=threshold,
+                id_col=id_col, max_bucket=max_bucket, tag_kind=True,
                 index_where=F.col("ingest_batch") < F.lit(int(batch_id)),
-                **mh_kw,
             )
         else:
             # cold start: no corpus yet — batch-internal dedup only
-            pairs = D.minhash_lsh_pairs(
-                batch, threshold=threshold, **mh_kw
-            ).withColumn("pair_kind", F.lit("intra"))
+            pairs = (
+                D.band_rows_self_pairs(inc_bands, k, id_col=id_col)
+                .where(F.col("est_jaccard") >= threshold)
+                .dropDuplicates(["id_a", "id_b"])
+                .withColumn("pair_kind", F.lit("intra"))
+            )
         batch_ids = batch.select(id_col)
         cross_ids = (
             pairs.where(F.col("pair_kind") == "cross")
@@ -487,13 +495,10 @@ def streaming_ingest_dedup(
         kept = batch.join(
             F.broadcast(drop), on=id_col, how="left_anti"
         ).localCheckpoint()
-        sig = D.minhash_signatures(
-            kept, k=k, n=n, id_col=id_col, text_col=text_col, seed=seed,
-            hash_mode=hash_mode,
-        )
-        rows = D._band_rows(sig, k, bands, id_col).withColumn(
-            "ingest_batch", F.lit(int(batch_id))
-        )
+        # survivors' band rows from the SAME pinned frame the probe used
+        rows = inc_bands.join(
+            F.broadcast(kept.select(id_col)), on=id_col, how="left_semi"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
         _dynamic_overwrite(rows, index_path, ["ingest_batch", "band"])
         _dynamic_overwrite(
             kept.withColumn("ingest_batch", F.lit(int(batch_id))),

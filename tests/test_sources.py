@@ -199,6 +199,81 @@ def test_compact_table_preserves_hive_partitioning(spark, tmp_path):
     assert got == 3999 * 4_000 // 2
 
 
+def test_compact_table_partitioned_with_sort_cols(spark, tmp_path):
+    """sort_cols on a partitioned layout: rows INSIDE each partition
+    value's file must actually be sorted (the naive sortWithinPartitions
+    on sort_cols alone lets the planner stack an unstable partition-col
+    sort on top — code-review r6)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "idx")
+    (
+        spark.range(20_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).alias("band"),
+            (F.col("id") * 2654435761 % 1000003).alias("bucket"),
+        )
+        .repartition(8)
+        .write.partitionBy("band")
+        .parquet(loc)
+    )
+    rep = compact_table(
+        spark, loc, target_file_bytes=1 << 30, sort_cols=("bucket",)
+    )
+    assert rep["rewritten"] is True and rep["partition_cols"] == ["band"]
+    files = glob.glob(os.path.join(loc, "band=*", "*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        col = pq.read_table(f, columns=["bucket"])["bucket"].to_pylist()
+        assert col == sorted(col), f
+    assert spark.read.parquet(loc).count() == 20_000
+
+
+def test_compact_table_ignores_empty_partition_dir(spark, tmp_path):
+    """Partition columns are inferred from data-file paths: an empty
+    partition dir left by an aborted writer must not truncate the
+    inferred layout (code-review r6)."""
+    import os
+
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "idx")
+    (
+        spark.range(4_000)
+        .select(
+            (F.col("id") % 3).alias("ingest_batch"),
+            (F.col("id") % 4).alias("band"),
+            F.col("id"),
+        )
+        .repartition(8)
+        .write.partitionBy("ingest_batch", "band")
+        .parquet(loc)
+    )
+    os.makedirs(os.path.join(loc, "ingest_batch=7"))  # aborted writer debris
+    rep = compact_table(spark, loc, target_file_bytes=1 << 30)
+    assert rep["partition_cols"] == ["ingest_batch", "band"]
+    assert rep["rewritten"] is True
+    assert spark.read.parquet(loc).count() == 4_000
+
+
+def test_compact_table_trailing_slash(spark, tmp_path):
+    from feagen_spark.sources.tables import compact_table
+
+    loc = str(tmp_path / "frag")
+    spark.range(10_000).repartition(16).write.parquet(loc)
+    rep = compact_table(spark, loc + "/", target_file_bytes=1 << 30)
+    assert rep["rewritten"] is True and rep["files_after"] == 1
+    assert spark.read.parquet(loc).count() == 10_000
+    leftovers = [p for p in tmp_path.iterdir() if p.name != "frag"]
+    assert not leftovers, leftovers
+
+
 def test_compact_table_noop_below_savings(spark, tmp_path):
     from feagen_spark.sources.tables import compact_table
 
