@@ -649,18 +649,50 @@ def q_doc_dup_audit(spark, sf_dir):
 
 
 def q_doc_scrub_chunks(spark, sf_dir):
-    """Cleaning pipeline composition: PII scrub → fixed-size overlapped
-    chunking (context-window prep), 1→N JVM explode."""
+    """Two legs over the doc_id % 5 == 0 subset (merged r6):
+
+    - ``chunks``: PII scrub → fixed-size overlapped chunking
+      (context-window prep), 1→N JVM explode — unchanged.
+    - ``para_dedup``: cross-document PARAGRAPH dedup (C4/CCNet): the
+      subset is concatenated into 20 multi-paragraph fixture docs
+      (group (doc_id//5) % 20, members '\\n'-joined in doc_id order —
+      DuckDB rebuilds the identical fixture with string_agg), then
+      ``paragraph_dedup`` keeps only each normalized paragraph's FIRST
+      (group, position) occurrence corpus-wide. In this leg chunk_idx
+      carries n_paras_dropped, and chunk_len/chunk_md5 hash the full
+      reassembled text — drops + content both value-checked."""
     from feagen_spark.operators.cleaning import chunk_text, scrub_pii
 
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
     scrubbed = scrub_pii(docs)
-    chunks = chunk_text(scrubbed, chunk_chars=512, overlap=64)
-    return chunks.select(
-        "doc_id", "chunk_idx",
+    chunks = chunk_text(scrubbed, chunk_chars=512, overlap=64).select(
+        "doc_id",
+        "chunk_idx",
         F.length("chunk").cast("long").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"),
+        F.lit("chunks").alias("leg"),
     )
+    grouped = docs.groupBy(
+        (F.floor(F.col("doc_id") / 5) % 20).cast("long").alias("g")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    cleaned = D.paragraph_dedup(
+        grouped, id_col="g", text_col="text", min_chars=1
+    ).select(
+        F.col("g").alias("doc_id"),
+        F.col("n_paras_dropped").alias("chunk_idx"),
+        F.length("text").cast("long").alias("chunk_len"),
+        F.md5("text").alias("chunk_md5"),
+        F.lit("para_dedup").alias("leg"),
+    )
+    return chunks.unionByName(cleaned)
 
 
 def q_doc_quality_signals(spark, sf_dir):
@@ -2194,16 +2226,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t,
                    greatest(CAST(ceil((length(t) - 64.0) / 448.0) AS INT), 1) AS nc
             FROM d WHERE length(t) > 0
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, nc)) AS INT) AS chunk_idx,
+                   CAST(unnest(list_transform(range(0, nc),
+                        i -> length(substr(t, CAST(i * 448 + 1 AS INT), 512)))) AS BIGINT)
+                       AS chunk_len,
+                   unnest(list_transform(range(0, nc),
+                        i -> md5(substr(t, CAST(i * 448 + 1 AS INT), 512))))
+                       AS chunk_md5
+            FROM par
+        ),
+        -- para_dedup leg: rebuild the SAME 20-group fixture, then keep
+        -- each normalized paragraph's first (g, pos) occurrence and
+        -- reassemble in position order (C4-style cross-doc para dedup)
+        grp AS (
+            SELECT CAST((doc_id // 5) % 20 AS BIGINT) AS g,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS t
+            FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+        ), paras AS (
+            SELECT g,
+                   CAST(unnest(range(0, len(string_split(t, chr(10))))) AS INT)
+                       AS pos,
+                   unnest(string_split(t, chr(10))) AS para
+            FROM grp
+        ), ranked AS (
+            SELECT g, pos, para,
+                   regexp_replace(lower(trim(para)), '\\s+', ' ', 'g') AS np,
+                   row_number() OVER (
+                       PARTITION BY regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')
+                       ORDER BY g, pos
+                   ) AS rn
+            FROM paras
+        ), kept AS (
+            SELECT g, pos, para FROM ranked WHERE length(np) < 1 OR rn = 1
+        ), tot AS (
+            SELECT g, count(*) AS na FROM paras GROUP BY 1
+        ), reb AS (
+            SELECT g, count(*) AS nk,
+                   string_agg(para, chr(10) ORDER BY pos) AS ct
+            FROM kept GROUP BY g
+        ), para_rows AS (
+            SELECT tot.g AS doc_id,
+                   CAST(tot.na - coalesce(reb.nk, 0) AS INT) AS chunk_idx,
+                   CAST(length(coalesce(reb.ct, '')) AS BIGINT) AS chunk_len,
+                   md5(coalesce(reb.ct, '')) AS chunk_md5
+            FROM tot LEFT JOIN reb USING (g)
         )
-        SELECT doc_id,
-               CAST(unnest(range(0, nc)) AS INT) AS chunk_idx,
-               CAST(unnest(list_transform(range(0, nc),
-                    i -> length(substr(t, CAST(i * 448 + 1 AS INT), 512)))) AS BIGINT)
-                   AS chunk_len,
-               unnest(list_transform(range(0, nc),
-                    i -> md5(substr(t, CAST(i * 448 + 1 AS INT), 512))))
-                   AS chunk_md5
-        FROM par
+        SELECT *, 'chunks' AS leg FROM chunks
+        UNION ALL
+        SELECT *, 'para_dedup' AS leg FROM para_rows
     """
 
     sql["doc_tfidf"] = """

@@ -58,7 +58,7 @@ HEADLINE = [
     "doc_simhash",
     "doc_sparse_features",
     "doc_tfidf",
-    "doc_scrub_chunks",
+    "doc_scrub_chunks",       # r6: + para_dedup leg (20-group fixture)
     "emb_topk",               # r6: + ivf_exhaustive method (was emb_ivf_topk)
     "emb_semantic_dedup",     # r6: SemDeDup over seed-centroid clusters
     "emb_bundle",

@@ -79,6 +79,97 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    count_col: str | None = "n_paras_dropped",
+) -> DataFrame:
+    """Cross-document paragraph deduplication (the C4 / CCNet recipe:
+    of every paragraph occurring anywhere in the corpus, keep ONLY its
+    first occurrence — boilerplate headers, cookie banners and licence
+    blocks appear thousands of times and would otherwise be memorized).
+    "First" is deterministic: the lowest ``(id, position)``. Paragraphs
+    whose NORMALIZED text is shorter than ``min_chars`` are structural
+    (empty lines, separators) and are never dropped. Returns ``df``
+    with ``text_col`` REPLACED by the deduplicated reassembly
+    (surviving paragraphs in original order, re-joined with ``sep``)
+    plus a ``count_col`` audit column; a fully-boilerplate doc comes
+    back with empty text — compose with a length filter to drop it.
+
+    Scale shape (the shuffle budget, in order): (1) the first-occurrence
+    election groups md5 DIGESTS + (id, pos) scalars — paragraph text
+    never rides this wire; (2) the kept-positions set collapses to ONE
+    array row per doc; (3) paragraphs shuffle by id ONCE for the
+    filter + reassembly (the groupBy reuses the join's partitioning);
+    (4) the final join restores the caller's other columns. NULL text
+    is treated as empty (the row survives).
+
+    No public-feagen counterpart (reference scope is feature DAGs);
+    this belongs to the task brief's dedup family."""
+    import re as _re
+
+    spark_df = df
+    paras = spark_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("__pos", "__para"),
+    )
+    key = F.md5(_norm("__para"))
+    eligible = paras.where(
+        F.length(_norm("__para")) >= int(min_chars)
+    ).select(F.col(id_col), "__pos", key.alias("__k"))
+    first = (
+        eligible.groupBy("__k")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.__pos").alias("__pos"),
+        )
+    )
+    keep_sets = first.groupBy(id_col).agg(
+        F.collect_set("__pos").alias("__keep_pos")
+    )
+    survivors = (
+        paras.join(keep_sets, on=id_col, how="left")
+        .where(
+            (F.length(_norm("__para")) < int(min_chars))
+            | F.coalesce(
+                F.array_contains("__keep_pos", F.col("__pos")), F.lit(False)
+            )
+        )
+        .select(F.col(id_col), "__pos", "__para")
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_all"))
+    out = (
+        spark_df.join(rebuilt, on=id_col, how="left")
+        .join(totals, on=id_col, how="left")
+        .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+    )
+    if count_col:
+        out = out.withColumn(
+            count_col,
+            (
+                F.coalesce("__n_all", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            ).cast("int"),
+        )
+    return out.drop("__clean", "__n_kept", "__n_all")
+
+
 # -- shingling -----------------------------------------------------------------
 
 def shingles(

@@ -1313,3 +1313,57 @@ def test_token_count_whitespace_edges(spark):
     )
     got = {r["doc_id"]: r["token_count"] for r in add_token_count(df).collect()}
     assert got == {1: 1, 2: 2, 3: 0, 4: 0, 5: None, 6: 2}
+
+
+def test_paragraph_dedup_matches_loop_reference(spark):
+    """Cross-doc paragraph dedup == the obvious sequential algorithm:
+    walk docs in (id, pos) order, keep a paragraph iff its normalized
+    form is unseen (or structural/short)."""
+    docs = {
+        1: "alpha header\nbody one unique\nshared boilerplate line",
+        2: "shared boilerplate line\nbody two unique\n\nalpha header",
+        3: "body three unique\nbody three unique\nx",   # intra-doc dup + short para
+        4: "shared boilerplate line",                    # fully boilerplate
+        5: None,                                         # NULL text survives as ""
+        6: "",                                           # empty doc
+    }
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras_dropped"])
+        for r in D.paragraph_dedup(df, min_chars=2).collect()
+    }
+
+    seen = set()
+    want = {}
+    for i in sorted(docs):
+        paras = (docs[i] or "").split("\n")
+        kept, dropped = [], 0
+        for p in paras:
+            norm = " ".join(p.lower().split())
+            if len(norm) < 2:
+                kept.append(p)
+            elif norm not in seen:
+                seen.add(norm)
+                kept.append(p)
+            else:
+                dropped += 1
+        want[i] = ("\n".join(kept), dropped)
+    assert got == want, (got, want)
+
+
+def test_paragraph_dedup_digest_shuffle_carries_no_text(spark):
+    """The first-occurrence election must shuffle digests + scalars
+    only — paragraph text enters a shuffle exactly once (reassembly)."""
+    from tests.test_plans import _exchange_blocks, _formatted
+
+    df = spark.createDataFrame(
+        [(i, f"para {i}\nshared line") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(D.paragraph_dedup(df))
+    text_exchanges = [
+        b for b in _exchange_blocks(plan) if "__para" in b["input"]
+    ]
+    assert len(text_exchanges) <= 1, [b["input"] for b in text_exchanges]
