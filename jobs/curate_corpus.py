@@ -1,0 +1,226 @@
+"""spark-submit entry for the end-to-end corpus CURATION pipeline —
+the composition a pretraining-data job actually runs, from raw docs to
+a deduped, decontaminated, quality-filtered, budgeted, reproducibly
+ordered (and optionally packed) training corpus. Every stage is an
+existing operator; this wires them from config:
+
+    raw docs
+      -> exact dedup            (dedup.exact_dedup)
+      -> near-dup canonical     (minhash LSH pairs -> connected
+                                 components -> anti-join non-canonical)
+      -> decontaminate          (dedup.cross_ngram_overlap vs a bench set)
+      -> quality floor          (textstats.add_quality_score)
+      -> per-language quota     (windowed.top_k_per_key by quality)
+      -> token budget mixture   (cleaning.sample_to_token_budget)
+      -> reproducible order     (cleaning.deterministic_shuffle)
+      -> pack + materialize     (hash_tokenize -> pack_sequences ->
+                                 materialize_packed_sequences)
+
+Run:
+
+    ./tools/make_dist.sh
+    spark-submit --master local[4] --py-files dist/feagen_spark.zip \
+        jobs/curate_corpus.py --config conf/curate.yml
+
+Prints one JSON line with the per-stage funnel (rows surviving each
+enabled stage) and the output locations. Stages are all optional —
+omit a key to skip it. Each retained stage output is
+localCheckpoint-pinned before counting so the funnel report never
+recomputes upstream stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from run_features import load_config  # noqa: E402 (same config dialect)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from feagen_spark.operators import dedup as D
+    from feagen_spark.operators.cleaning import (
+        deterministic_shuffle,
+        materialize_packed_sequences,
+        pack_sequences,
+        sample_to_token_budget,
+    )
+    from feagen_spark.operators.textstats import (
+        add_lang_id,
+        add_quality_score,
+        add_token_count,
+        hash_tokenize,
+    )
+    from feagen_spark.functions.windowed import top_k_per_key
+
+    spark = SparkSession.builder.appName(
+        cfg.get("app_name", "feagen_curate")
+    ).getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    id_col = cfg.get("id_col", "doc_id")
+    text_col = cfg.get("text_col", "text")
+    docs = spark.read.parquet(cfg["input_path"])
+    if cfg.get("repartition_n"):
+        docs = docs.repartition(int(cfg["repartition_n"]))
+
+    funnel: dict[str, int] = {}
+
+    def checkpointed(df, stage: str):
+        pinned = df.localCheckpoint()
+        funnel[stage] = pinned.count()
+        return pinned
+
+    docs = checkpointed(docs, "input")
+
+    if cfg.get("exact_dedup"):
+        docs = checkpointed(
+            D.exact_dedup(docs, id_col=id_col, text_col=text_col),
+            "exact_dedup",
+        )
+
+    nd = cfg.get("near_dedup")
+    if nd:
+        pairs = D.minhash_lsh_pairs(
+            docs,
+            k=int(nd.get("k", 32)),
+            bands=int(nd.get("bands", 8)),
+            n=int(nd.get("n", 3)),
+            threshold=float(nd.get("threshold", 0.8)),
+            max_bucket=(
+                int(nd["max_bucket"]) if nd.get("max_bucket") else None
+            ),
+            id_col=id_col,
+            text_col=text_col,
+        ).select("id_a", "id_b")
+        clusters = D.connected_components(pairs)
+        drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        docs = checkpointed(
+            docs.join(F.broadcast(drop), on=id_col, how="left_anti"),
+            "near_dedup",
+        )
+
+    dc = cfg.get("decontaminate")
+    if dc:
+        bench = spark.read.parquet(dc["bench_path"])
+        hits = D.cross_ngram_overlap(
+            docs.select(id_col, text_col),
+            bench,
+            n=int(dc.get("n", 3)),
+            min_shared=int(dc.get("min_shared", 5)),
+            id_col=id_col,
+            text_col=text_col,
+        ).select(F.col("corpus_id").alias(id_col)).distinct()
+        docs = checkpointed(
+            docs.join(F.broadcast(hits), on=id_col, how="left_anti"),
+            "decontaminate",
+        )
+
+    q = cfg.get("quality")
+    if q:
+        docs = add_quality_score(docs, text_col=text_col)
+        docs = checkpointed(
+            docs.where(
+                F.col("quality_score") >= float(q.get("min_score", 0.0))
+            ),
+            "quality",
+        )
+
+    lq = cfg.get("lang_quota")
+    if lq:
+        if "lang_id" not in docs.columns:
+            docs = add_lang_id(docs, text_col=text_col)
+        if "quality_score" not in docs.columns:
+            docs = add_quality_score(docs, text_col=text_col)
+        docs = checkpointed(
+            top_k_per_key(
+                docs,
+                key="lang_id",
+                order=[F.col("quality_score").desc(), F.col(id_col)],
+                k=int(lq.get("k", 1000)),
+            ),
+            "lang_quota",
+        )
+
+    tb = cfg.get("token_budget")
+    if tb:
+        if "token_count" not in docs.columns:
+            docs = add_token_count(docs, text_col=text_col)
+        if "lang_id" not in docs.columns:
+            docs = add_lang_id(docs, text_col=text_col)
+        docs = checkpointed(
+            sample_to_token_budget(
+                docs,
+                strata_col=tb.get("strata_col", "lang_id"),
+                token_col="token_count",
+                budgets={k: int(v) for k, v in tb["budgets"].items()},
+                id_col=id_col,
+            ),
+            "token_budget",
+        )
+
+    od = cfg.get("order")
+    if od:
+        shuffled = deterministic_shuffle(
+            docs,
+            id_col=id_col,
+            seed=int(od.get("seed", 0)),
+            n_partitions=(
+                int(od["n_partitions"]) if od.get("n_partitions") else None
+            ),
+            rank_col="shuffle_rank" if od.get("rank") else None,
+        ).drop("shuffle_key")
+        shuffled.write.mode("overwrite").parquet(od["output_path"])
+        docs = spark.read.parquet(od["output_path"])
+        funnel["order"] = docs.count()
+
+    pk = cfg.get("pack")
+    if pk:
+        toks = hash_tokenize(
+            docs.select(id_col, text_col),
+            text_col=text_col,
+            vocab_size=int(pk.get("vocab_size", 65536)),
+        )
+        toks = toks.withColumn("n_tok", F.size("token_ids"))
+        assign = pack_sequences(
+            toks,
+            id_col=id_col,
+            len_col="n_tok",
+            max_len=int(pk.get("max_len", 2048)),
+            n_buckets=int(pk.get("n_buckets", 8)),
+        )
+        packed = materialize_packed_sequences(
+            assign,
+            toks.select(id_col, F.col("token_ids").alias("payload")),
+            id_col=id_col,
+            len_col="n_tok",
+            payload_col="payload",
+            max_len=int(pk.get("max_len", 2048)),
+        )
+        packed.write.mode("overwrite").parquet(pk["output_path"])
+        funnel["packed_sequences"] = spark.read.parquet(
+            pk["output_path"]
+        ).count()
+
+    out_path = cfg["output_path"]
+    docs.write.mode(cfg.get("output_mode", "overwrite")).parquet(out_path)
+    funnel["output"] = spark.read.parquet(out_path).count()
+
+    print(json.dumps({"status": "ok", "funnel": funnel, "output": out_path}))
+
+
+if __name__ == "__main__":
+    main()

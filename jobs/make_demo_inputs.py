@@ -18,6 +18,7 @@ TRANSCRIPTS = "/tmp/feagen_demo_transcripts"
 LABELS = "/tmp/feagen_demo_labels"
 DOCS_BASE = "/tmp/feagen_demo_docs_base"
 DOCS_STREAM = "/tmp/feagen_demo_docs_stream"
+BENCH = "/tmp/feagen_demo_bench"
 
 
 def main() -> None:
@@ -94,10 +95,19 @@ def main() -> None:
         "append"
     ).parquet(DOCS_STREAM)
 
+    # conf/curate.yml's bench set: a slice of the sf0.001 documents
+    # table, so the curation demo's decontaminate stage has real
+    # contamination to drop (the corpus contains these very docs)
+    bench = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where(F.col("doc_id") % 10 == 1)
+    bench.select("doc_id", "text").write.mode("overwrite").parquet(BENCH)
+
     print(
         f"wrote {TRANSCRIPTS} ({df.count()} turns), {LABELS}, "
-        f"{DOCS_BASE} (5 docs) and {DOCS_STREAM} (2 stream files; "
-        f"expected keeps: 103 104 201 202)"
+        f"{DOCS_BASE} (5 docs), {DOCS_STREAM} (2 stream files; "
+        f"expected keeps: 103 104 201 202) and {BENCH} "
+        f"({bench.count()} bench docs)"
     )
 
 
