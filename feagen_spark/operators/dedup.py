@@ -669,6 +669,58 @@ def band_rows_self_pairs(
     )
 
 
+def rebaseline_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    fmt: str = "parquet",
+) -> dict:
+    """Fold every ``ingest_batch=N`` partition of a STREAMED MinHash
+    index (:func:`write_minhash_index` with ``ingest_batch`` +
+    :func:`...streaming_ingest_dedup` appends) back into the base
+    ``ingest_batch=-1`` partition set — the periodic maintenance that
+    keeps the partition count bounded: a long-running ingest stream
+    otherwise accretes one partition per micro-batch, and at some point
+    partition DISCOVERY (listing thousands of tiny dirs) costs more
+    than the probe scan itself. One file per band after the fold.
+
+    Quiesce the stream first (same offline contract as
+    ``compact_table``). Replay interaction is safe by construction: if
+    a folded batch N later REPLAYS, its dynamic-overwrite re-creates
+    ``ingest_batch=N`` with band rows that now ALSO exist under -1 —
+    duplicate index rows only ever produce duplicate candidate pairs,
+    which the probe's ``dropDuplicates`` collapses, and the next
+    rebaseline folds the redundant partition away again.
+
+    Returns ``{"batches_folded", "rows"}``."""
+    from ..sources.tables import rewrite_table
+
+    idx = spark.read.format(fmt).load(index_path)
+    if "ingest_batch" not in idx.columns:
+        raise ValueError(
+            f"{index_path} is not a streamed index (no ingest_batch "
+            "partition level) — nothing to rebaseline"
+        )
+    batches = [
+        r["ingest_batch"]
+        for r in idx.select("ingest_batch").distinct().collect()
+    ]  # slow-path-ok: one row per micro-batch partition, the very set
+    # being bounded here
+    n_rows = idx.count()
+    folded = (
+        idx.withColumn("ingest_batch", F.lit(-1))
+        .repartition(F.col("band"))
+        .sortWithinPartitions("ingest_batch", "band", "bucket")
+    )
+    rewrite_table(
+        spark, index_path, folded,
+        partition_by=["ingest_batch", "band"], fmt=fmt,
+    )
+    return {
+        "batches_folded": sorted(int(b) for b in batches if b != -1),
+        "rows": n_rows,
+    }
+
+
 # -- cross-set contamination (benchmark decontamination) -------------------------
 
 def word_ngrams(

@@ -233,22 +233,49 @@ def compact_table(
         ).sortWithinPartitions(*sort_cols)
     else:
         out = df.coalesce(n_files)
+    rewrite_table(spark, location, out, partition_by=part_cols, fmt=fmt)
+    report["files_after"] = _data_stats(live)[1]
+    report["partition_cols"] = part_cols
+    report["rewritten"] = True
+    return report
+
+
+def rewrite_table(
+    spark: SparkSession,
+    location: str,
+    out: DataFrame,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Crash-safe in-place table rewrite: write ``out`` (which may be
+    derived from reading ``location`` — it is fully materialized into a
+    staging dir BEFORE the live dir is touched) then swap via the
+    rename discipline: live → aside, staging → live, aside deleted;
+    any failure restores the original. Same quiesce-writers contract
+    and S3 caveat as :func:`compact_table` (this is its extracted swap
+    half; :func:`feagen_spark.operators.dedup.rebaseline_minhash_index`
+    is the other caller)."""
     import uuid
 
+    location = location.rstrip("/") or "/"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(location)
+    fs = live.getFileSystem(hconf)
     token = uuid.uuid4().hex[:8]
     staging = jvm.org.apache.hadoop.fs.Path(f"{location}.compact-{token}")
     aside = jvm.org.apache.hadoop.fs.Path(f"{location}.old-{token}")
     try:
         w = out.write.mode("overwrite").format(fmt)
-        if part_cols:
-            w = w.partitionBy(*part_cols)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
         w.save(str(staging))
         if not fs.rename(live, aside):
-            raise IOError(f"compact_table: cannot move {location} aside")
+            raise IOError(f"rewrite_table: cannot move {location} aside")
         try:
             if not fs.rename(staging, live):
                 raise IOError(
-                    f"compact_table: cannot move staging into {location}"
+                    f"rewrite_table: cannot move staging into {location}"
                 )
         except BaseException:
             # restore the original before surfacing the failure
@@ -260,7 +287,3 @@ def compact_table(
             fs.delete(staging, True)
         raise
     fs.delete(aside, True)
-    report["files_after"] = _data_stats(live)[1]
-    report["partition_cols"] = part_cols
-    report["rewritten"] = True
-    return report

@@ -559,3 +559,64 @@ def test_streaming_ingest_dedup_cold_start(spark, tmp_path):
     )
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {11, 13, 22}
+
+
+def test_rebaseline_minhash_index_preserves_probe(spark, tmp_path):
+    """Folding micro-batch partitions into the base must leave probe
+    answers identical and collapse the partition set to -1."""
+    import os
+
+    from feagen_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "the base corpus document about joins and windows")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus_out")
+    D.write_minhash_index(corpus, idx, k=16, bands=4, ingest_batch=-1)
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(
+        [(10, "a first streamed document with original content")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(20, "a second streamed document unlike the others here")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain_ingest_dedup(
+        spark, stream, idx, out, str(tmp_path / "ck"),
+        k=16, bands=4, threshold=0.7,
+    )
+    parts = {p for p in os.listdir(idx) if p.startswith("ingest_batch=")}
+    assert parts == {"ingest_batch=-1", "ingest_batch=0", "ingest_batch=1"}
+
+    probe_inc = spark.createDataFrame(
+        [(99, "a first streamed document with original content")], schema
+    )
+    before = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_probe_increment(
+            spark, idx, probe_inc, k=16, bands=4, threshold=0.7
+        ).collect()
+    }
+    assert before, "fixture must produce a cross pair"
+    n_rows = spark.read.parquet(idx).count()
+
+    rep = D.rebaseline_minhash_index(spark, idx)
+    assert rep["batches_folded"] == [0, 1]
+    parts = {p for p in os.listdir(idx) if p.startswith("ingest_batch=")}
+    assert parts == {"ingest_batch=-1"}
+    assert spark.read.parquet(idx).count() == n_rows
+    after = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_probe_increment(
+            spark, idx, probe_inc, k=16, bands=4, threshold=0.7
+        ).collect()
+    }
+    assert after == before
