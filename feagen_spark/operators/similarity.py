@@ -424,6 +424,7 @@ def write_ivf_index(
     mode: str = "auto",
     fmt: str = "parquet",
     write_mode: str = "overwrite",
+    ingest_batch: int | None = None,
 ) -> None:
     """Materialize the IVF index in its scale layout (VERDICT r4 #4):
     every vector is assigned to its inverted list (``ivf_assign``, one
@@ -431,12 +432,54 @@ def write_ivf_index(
     the physical layout ``ivf_topk``'s 100 TB story depends on. A probe
     against this layout reads only the probed lists' partitions (static
     partition pruning, proved in tests/test_plans.py); the unprobed
-    99 %+ of a 4096-list corpus is never opened."""
+    99 %+ of a 4096-list corpus is never opened.
+
+    ``ingest_batch`` switches to the INCREMENTAL layout (a leading
+    ``ingest_batch=<n>`` partition level, base conventionally -1) that
+    :func:`append_ivf_index` grows batch by batch — same convention as
+    the MinHash index; partition depth must be uniform per root."""
     from ..sources.tables import write_table
 
     assigned = ivf_assign(corpus, centroids, vec_col=vec_col, mode=mode)
+    part_by: list[str] | str = "centroid_id"
+    if ingest_batch is not None:
+        assigned = assigned.withColumn(
+            "ingest_batch", F.lit(int(ingest_batch))
+        )
+        part_by = ["ingest_batch", "centroid_id"]
     write_table(
-        assigned, path, fmt=fmt, mode=write_mode, partition_by="centroid_id"
+        assigned, path, fmt=fmt, mode=write_mode, partition_by=part_by
+    )
+
+
+def append_ivf_index(
+    increment: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    ingest_batch: int,
+    vec_col: str = "embedding",
+    mode: str = "auto",
+    fmt: str = "parquet",
+) -> None:
+    """Grow an incremental IVF index (:func:`write_ivf_index` with
+    ``ingest_batch``) by one batch of newly-arrived vectors: assign
+    them to their inverted lists (one map stage over the INCREMENT
+    only — the corpus is never re-assigned) and dynamic-partition-
+    overwrite the batch's ``ingest_batch=<n>/centroid_id=*`` partitions
+    — idempotent on retry, exactly the streaming-dedup sink discipline.
+    ``ivf_topk_indexed`` probes base + increments transparently
+    (centroid_id pruning applies at any partition level).
+
+    Contract: the SAME ``centroids`` as the base build — IVF lists are
+    meaningless across quantizers; re-train ⇒ full
+    :func:`write_ivf_index` rebuild (standard IVF practice)."""
+    from .incremental import _dynamic_overwrite
+
+    assigned = ivf_assign(
+        increment, centroids, vec_col=vec_col, mode=mode
+    ).withColumn("ingest_batch", F.lit(int(ingest_batch)))
+    _dynamic_overwrite(
+        assigned, path, ["ingest_batch", "centroid_id"], fmt=fmt
     )
 
 

@@ -1367,3 +1367,41 @@ def test_paragraph_dedup_digest_shuffle_carries_no_text(spark):
         b for b in _exchange_blocks(plan) if "__para" in b["input"]
     ]
     assert len(text_exchanges) <= 1, [b["input"] for b in text_exchanges]
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, vectors, tmp_path):
+    """Incremental IVF growth: base build + batch append must answer
+    probes identically to a one-shot index over the full corpus (same
+    centroids => same lists => same candidates)."""
+    from feagen_spark.operators import similarity as S
+
+    vectors, _ = vectors
+    cent = S.train_ivf_centroids(vectors, n_centroids=8)
+    base = vectors.where(F.col("vec_id") < 30)
+    inc = vectors.where(F.col("vec_id") >= 30)
+    q = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    incr_path = str(tmp_path / "ivf_incr")
+    S.write_ivf_index(base, cent, incr_path, ingest_batch=-1)
+    S.append_ivf_index(inc, cent, incr_path, ingest_batch=0)
+
+    full_path = str(tmp_path / "ivf_full")
+    S.write_ivf_index(vectors, cent, full_path)
+
+    def rows(path):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in S.ivf_topk_indexed(
+                spark, path, q, cent, k=5, nprobe=8
+            ).collect()
+        )
+
+    got, want = rows(incr_path), rows(full_path)
+    assert got == want and len(got) == 15
+
+    # retry idempotency: re-appending the same batch changes nothing
+    S.append_ivf_index(inc, cent, incr_path, ingest_batch=0)
+    assert rows(incr_path) == want
