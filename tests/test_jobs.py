@@ -210,3 +210,81 @@ def test_load_config_comment_stripping_is_quote_aware(tmp_path):
         "c": {"path": "/tmp/a#b", "n": 2},
         "d": "plain",
     }
+
+
+def _load_job(name: str):
+    spec = importlib.util.spec_from_file_location(name, REPO / "jobs" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    # the jobs import load_config from run_features by module name
+    sys.path.insert(0, str(REPO / "jobs"))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(REPO / "jobs"))
+    return mod
+
+
+def test_curate_corpus_funnel(spark, tmp_path, monkeypatch, capsys):
+    """End-to-end curation drive from config: dedup classes drop, the
+    decontaminated bench docs vanish, the funnel is monotone, and the
+    packed artifact covers every surviving doc's tokens."""
+    texts = {
+        # near-dup pair (cluster -> canonical 1 survives)
+        1: "the quick brown fox jumps over the lazy dog every day now",
+        2: "the quick brown fox jumps over the lazy dog every day now!",
+        # exact dup of 3 (exact_dedup keeps 3)
+        3: "completely original first document about spark partitions",
+        4: "completely original first document about spark partitions",
+        # contaminated: shares the bench doc's grams
+        5: "held out benchmark question about gradient descent methods",
+        # clean keepers
+        6: "a second clean document describing window aggregations",
+        7: "a third clean document on broadcast join planning rules",
+    }
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(900, texts[5])], "doc_id long, text string"
+    ).write.parquet(bench)
+
+    out = str(tmp_path / "curated")
+    packed = str(tmp_path / "packed")
+    cfg = tmp_path / "curate.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_test",
+                f"input_path: {inp}",
+                "exact_dedup: true",
+                'near_dedup: {"k": 32, "bands": 8, "threshold": 0.8}',
+                f'decontaminate: {{"bench_path": "{bench}", "n": 3, '
+                '"min_shared": 5}',
+                'pack: {"max_len": 64, "n_buckets": 2, "vocab_size": 1024, '
+                f'"output_path": "{packed}"}}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    f = summary["funnel"]
+    assert f["input"] == 7
+    assert f["exact_dedup"] == 6          # 4 dropped
+    assert f["near_dedup"] == 5           # 2 dropped
+    assert f["decontaminate"] == 4        # 5 dropped
+    assert f["output"] == 4
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 6, 7}
+    pk = spark.read.parquet(packed)
+    assert pk.count() >= 1
+    # every surviving doc's tokens appear in exactly one packed row
+    n_tokens = sum(len(texts[i].split()) for i in kept)
+    total = pk.agg(
+        F.sum(F.size("packed")).cast("long")
+    ).first()[0]
+    assert total == n_tokens
