@@ -508,46 +508,39 @@ def q_ev_stratified_sample(spark, sf_dir):
 
 
 def q_li_rollup(spark, sf_dir):
-    """ROLLUP aggregation over (returnflag, linestatus) with grouping
-    flags — multi-level aggregate coverage."""
+    """Both multi-level aggregate operators in one entry under a
+    ``leg`` column (r6, 50-entry artifact cap — the same-shape merge
+    pattern r5 used): ROLLUP over (returnflag, linestatus), and
+    GROUPING SETS ((returnflag), (linestatus), ()) — the
+    generalization rollup/cube are sugar for. Each leg is ONE Expand +
+    hash aggregate in Catalyst, not multiple scans; the union is of
+    two already-aggregated sketch-sized frames."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
+
+    def agg_of(grouped):
+        return grouped.agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select(
+
+    def shaped(df, leg):
+        return df.select(
+            F.lit(leg).alias("leg"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "sum_qty",
             "n",
         )
-    )
 
-def q_li_grouping_sets(spark, sf_dir):
-    """GROUPING SETS coverage (the generalization rollup/cube are sugar
-    for): per-returnflag totals, per-linestatus totals, and the grand
-    total in ONE aggregate pass — Catalyst expands to a single Expand +
-    hash aggregate, not three scans."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
+    rollup = agg_of(li.rollup("l_returnflag", "l_linestatus"))
+    gsets = agg_of(
         li.groupingSets(
             [["l_returnflag"], ["l_linestatus"], []],
             "l_returnflag",
             "l_linestatus",
         )
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
-            "n",
-        )
     )
+    return shaped(rollup, "rollup").unionByName(shaped(gsets, "gsets"))
 
 
 def q_li_pricing_summary(spark, sf_dir):
@@ -1207,6 +1200,35 @@ def q_doc_quality_quota(spark, sf_dir):
     )
 
 
+def q_doc_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023, r6): hashed
+    unigram+bigram bucket distributions fit on a deterministic pseudo-
+    target subset (doc_id % 7 == 0) vs the whole corpus, per-doc
+    importance log-weight, then a deterministic Gumbel-top-k draw of
+    200 docs with probability ∝ exp(weight) — the end-to-end "select
+    raw docs that look like the target corpus" curation step. md5
+    mode throughout so DuckDB replays weights AND the draw exactly.
+
+    Scale shape: gram strings hash map-side (never shuffle), the
+    ln-ratio table is bucket-sized and broadcast, per-doc sum is one
+    groupBy, and the top-k compiles to TakeOrderedAndProject (per-
+    partition top-k + one reduce, no global sort)."""
+    from feagen_spark.operators.cleaning import gumbel_topk
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    w = TS.dsir_logweight(
+        docs, target, n_buckets=4096, alpha=0.5, method="md5"
+    )
+    picked = gumbel_topk(w, "dsir_logweight", k=200, method="md5")
+    return picked.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.round("dsir_logweight", 6) + 0.0).alias("dsir_logweight"),
+        (F.round("gumbel_key", 6) + 0.0).alias("gumbel_key"),
+    )
+
+
 def q_doc_cluster_split(spark, sf_dir):
     """Leakage-safe train/val/test split: near-duplicate CLUSTERS (not
     documents) are the split unit, so two near-dup docs can never land
@@ -1571,7 +1593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_attribution": q_ev_stream_attribution,
         "ev_stream_decay": q_ev_stream_decay,
         "li_rollup": q_li_rollup,
-        "li_grouping_sets": q_li_grouping_sets,
         "li_pricing_summary": q_li_pricing_summary,
         "join_revenue_by_priority": q_join_revenue_by_priority,
         "doc_profile": q_doc_profile,
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_split": q_doc_cluster_split,
         "doc_contamination": q_doc_contamination,
         "doc_quality_quota": q_doc_quality_quota,
+        "doc_dsir_sample": q_doc_dsir_sample,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "doc_lsh_recall": q_doc_lsh_recall,
@@ -1950,16 +1972,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["li_rollup"] = """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        SELECT 'rollup' AS leg,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                count(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """
-
-    sql["li_grouping_sets"] = """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        UNION ALL
+        SELECT 'gsets' AS leg,
+               coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                count(*) AS n
@@ -2079,6 +2101,66 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY {quality} DESC, doc_id ASC) AS INT) AS rank
             FROM documents
         ) WHERE rank <= 20
+    """
+
+    # DSIR: hashed unigram+bigram buckets (md5 bridge), smoothed
+    # log-ratio of target (doc_id % 7 == 0) vs raw distributions,
+    # per-doc weight, Gumbel key from md5('42:'||doc_id), top 200 by
+    # exact key (ties impossible at the boundary in practice; id
+    # tie-break pinned in both engines)
+    sql["doc_dsir_sample"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, unnest(toks) AS gram FROM tok
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[CAST(i AS INT)] || ' '
+                            || toks[CAST(i AS INT) + 1])) AS gram
+            FROM tok
+        ), f AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT)
+                       % 4096 AS bkt
+            FROM g
+        ), tc AS (
+            SELECT bkt, count(*) AS tgt_n FROM f
+            WHERE doc_id % 7 = 0 GROUP BY 1
+        ), rc AS (
+            SELECT bkt, count(*) AS raw_n FROM f GROUP BY 1
+        ), tt AS (
+            SELECT CAST(coalesce(sum(tgt_n), 0) AS DOUBLE) AS tgt_total FROM tc
+        ), rt AS (
+            SELECT CAST(sum(raw_n) AS DOUBLE) AS raw_total FROM rc
+        ), w AS (
+            SELECT f.doc_id,
+                   count(*) AS n_grams,
+                   sum(ln((coalesce(tgt_n, 0) + 0.5) / (tgt_total + 0.5 * 4096))
+                       - ln((raw_n + 0.5) / (raw_total + 0.5 * 4096))) AS wt
+            FROM f
+            JOIN rc USING (bkt)
+            LEFT JOIN tc USING (bkt)
+            CROSS JOIN tt CROSS JOIN rt
+            GROUP BY f.doc_id
+        ), keyed AS (
+            SELECT doc_id, n_grams, wt,
+                   wt + -ln(-ln((CAST(('0x' || substring(
+                            md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % 1000000 + 0.5) / 1000000.0)) AS gk
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               round(wt, 6) + 0.0 AS dsir_logweight,
+               round(gk, 6) + 0.0 AS gumbel_key
+        FROM keyed
+        ORDER BY gk DESC, doc_id ASC
+        LIMIT 200
     """
 
     sql["doc_dup_audit"] = f"""

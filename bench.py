@@ -48,8 +48,7 @@ HEADLINE = [
     "ev_stratified_sample",
     "doc_mixture_report",
     "emb_label_centroids",
-    "li_rollup",
-    "li_grouping_sets",
+    "li_rollup",              # r6: + grouping-sets leg (merged entry)
     "li_pricing_summary",
     "join_revenue_by_priority",
     "doc_profile",            # r6: + r5 doc_keep_split (dedup keep + hash split)
@@ -71,6 +70,7 @@ HEADLINE = [
     "doc_quality_signals",    # r4 doc_dup_ngrams + doc_unigram_logprob
     "doc_contamination",
     "doc_quality_quota",
+    "doc_dsir_sample",        # r6: DSIR importance resampling + Gumbel top-k
 ]
 
 # Best-of-2 is the DEFAULT for every leg since r5 (VERDICT r4 #9): r2-r4

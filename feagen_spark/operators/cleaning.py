@@ -577,6 +577,62 @@ def materialize_packed_sequences(
     return out
 
 
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    k: int | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "xxhash64",
+    key_col: str = "gumbel_key",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick (public: Vieira 2014; Kool et al. 2019): for a
+    log-domain score s(d) (e.g. ``textstats.dsir_logweight``), the k
+    rows with the largest ``s(d) + Gumbel(d)`` are an exact sample of
+    k distinct rows with probability ∝ exp(s(d)) — importance
+    resampling when s is an importance log-weight.
+
+    The Gumbel draw is a pure content hash, not rand(): u(d) =
+    (hash(seed, id) mod 10⁶ + ½)/10⁶ ∈ (0,1), g = −ln(−ln u) — so the
+    selection is bit-stable across runs, layouts, cluster sizes and
+    task retries (the same contract as ``hash_split``), and a new
+    ``seed`` is a fresh draw. method='md5' is the engine-portable
+    bridge (any engine with md5 reproduces the sample — the DuckDB
+    oracle path); 'xxhash64' the faster JVM default.
+
+    Scale shape: ``k`` mode compiles to TakeOrderedAndProject (per-
+    partition top-k, ONE reduce — no global sort) and is right for
+    k ≲ 10⁶ (the driver merge holds O(k) rows); for corpus-scale
+    selections pass ``threshold`` instead — a map-only ``key >=
+    threshold`` filter that never shuffles (pick the cutoff from a
+    quantile estimate of the key, e.g. ``approxQuantile``/GK sketch).
+    Exactly one of ``k``/``threshold`` must be given. Rows with NULL
+    score are dropped (no weight ⇒ no draw); NULL ids are rejected
+    loudly (they would all collide on one Gumbel draw)."""
+    if (k is None) == (threshold is None):
+        raise ValueError("pass exactly one of k / threshold")
+    if k is not None and k < 1:
+        raise ValueError("k must be >= 1")
+    cid = F.col(id_col)
+    guarded = F.when(
+        cid.isNull(),
+        F.raise_error(F.lit("gumbel_topk: NULL id")).cast(
+            df.schema[id_col].dataType
+        ),
+    ).otherwise(cid)
+    h = _hash_bucket_multi([F.lit(seed), guarded], method, seed, 1_000_000)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+    g = -F.log(-F.log(u))
+    out = df.where(F.col(score_col).isNotNull()).withColumn(
+        key_col, F.col(score_col) + g
+    )
+    if threshold is not None:
+        return out.where(F.col(key_col) >= F.lit(float(threshold)))
+    return out.orderBy(F.col(key_col).desc(), cid).limit(k)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -340,6 +340,141 @@ def unigram_logprob(
     )
 
 
+def _hashed_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    use_bigrams: bool,
+    method: str,
+    seed: int,
+) -> DataFrame:
+    """(id, bucket) feature stream for dsir_logweight: whitespace
+    unigrams (the shared ``_ws_tokens`` definition) plus optional word
+    bigrams, each hashed into ``n_buckets`` via the repo's standard
+    md5/xxhash64 bridge. One map-only projection + one explode — no
+    shuffle; gram strings never leave the map stage (only the hashed
+    bucket id is emitted)."""
+    from .cleaning import _hash_bucket_multi
+
+    toks = _ws_tokens(F.col(text_col))
+    grams = toks
+    if use_bigrams:
+        # bigram i = toks[i] + ' ' + toks[i+1]; the last position maps
+        # to NULL (no successor) and is filtered out — pure JVM
+        big = F.filter(
+            F.transform(
+                toks,
+                lambda t, i: F.when(
+                    i < F.size(toks) - 1,
+                    F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+                ),
+            ),
+            lambda g: g.isNotNull(),
+        )
+        grams = F.concat(toks, big)
+    out = df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    return out.select(
+        id_col,
+        _hash_bucket_multi(
+            [F.col("__gram")], method, seed, n_buckets
+        ).alias("__bkt"),
+    )
+
+
+def dsir_logweight(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 13,
+    alpha: float = 0.5,
+    use_bigrams: bool = True,
+    method: str = "xxhash64",
+    seed: int = 42,
+    out_col: str = "dsir_logweight",
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight (Data Selection via
+    Importance Resampling, Xie et al. 2023 — the public recipe for
+    picking raw-corpus documents that look like a small high-quality
+    target corpus): hashed n-gram bag features (unigrams + word
+    bigrams, the paper's feature space), two smoothed bag-of-buckets
+    unigram distributions fit on ``target`` and ``raw``, and
+
+        weight(d) = Σ_{g ∈ grams(d)} ln p̂_tgt(bucket(g))
+                                   − ln p̂_raw(bucket(g)),
+        p̂(b) = (count_b + alpha) / (total + alpha · n_buckets).
+
+    Docs that look target-like score high; sampling ∝ exp(weight) is
+    exactly importance resampling (pair with ``cleaning.gumbel_topk``
+    for the deterministic without-replacement draw).
+
+    Scale shape (mirrors ``tfidf_terms``/``unigram_logprob``): gram
+    strings are hashed map-side and never shuffle — the two
+    distribution fits are groupBys over BUCKET IDS (≤ n_buckets rows
+    out), the ln-ratio table is bucket-sized and BROADCAST onto the
+    raw feature stream, and the per-doc sum is one groupBy on the id.
+    Three shuffles total, every shuffled row fixed-width. Docs with no
+    grams keep a NULL weight (a filter decision, not a 0 —
+    ``gumbel_topk`` drops them).
+
+    method='md5' is the engine-portable bridge (first 8 hex chars of
+    md5(gram) → uint32 mod n_buckets — any engine reproduces the
+    weights, which is what the DuckDB value oracle runs on; ignores
+    ``seed``); 'xxhash64' is the faster JVM-only default. Output:
+    (id_col, n_grams, out_col)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+    tgt = _hashed_grams(
+        target, id_col, text_col, n_buckets, use_bigrams, method, seed
+    )
+    rawf = _hashed_grams(
+        raw, id_col, text_col, n_buckets, use_bigrams, method, seed
+    )
+    tcnt = tgt.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__tgt_n"))
+    rcnt = rawf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__raw_n"))
+    # totals include buckets absent from the other side — computed
+    # BEFORE the join, each a broadcast 1-row aggregate
+    ttot = tcnt.agg(F.sum("__tgt_n").cast("double").alias("__tgt_total"))
+    rtot = rcnt.agg(F.sum("__raw_n").cast("double").alias("__raw_total"))
+    am = float(alpha) * n_buckets
+    # docs only ever probe raw-present buckets, so a LEFT join of the
+    # raw bucket set against the target counts covers every lookup
+    ratio = (
+        rcnt.join(tcnt, on="__bkt", how="left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "__bkt",
+            (
+                F.log(
+                    (F.coalesce("__tgt_n", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.coalesce("__tgt_total", F.lit(0.0)) + F.lit(am))
+                )
+                - F.log(
+                    (F.col("__raw_n") + F.lit(float(alpha)))
+                    / (F.col("__raw_total") + F.lit(am))
+                )
+            ).alias("__lr"),
+        )
+    )
+    scored = (
+        rawf.join(F.broadcast(ratio), on="__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__lr").alias(out_col),
+        )
+    )
+    return raw.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        out_col,
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All JVM-side text features in one pass (single projection, no
     shuffle — this is a map-only stage at any scale). The padded

@@ -10,6 +10,8 @@ existing operator; this wires them from config:
                                  components -> anti-join non-canonical)
       -> decontaminate          (dedup.cross_ngram_overlap vs a bench set)
       -> quality floor          (textstats.add_quality_score)
+      -> DSIR target-likeness   (textstats.dsir_logweight ->
+                                 cleaning.gumbel_topk, r6)
       -> per-language quota     (windowed.top_k_per_key by quality)
       -> token budget mixture   (cleaning.sample_to_token_budget)
       -> reproducible order     (cleaning.deterministic_shuffle)
@@ -52,6 +54,7 @@ def main() -> None:
     from feagen_spark.operators import dedup as D
     from feagen_spark.operators.cleaning import (
         deterministic_shuffle,
+        gumbel_topk,
         materialize_packed_sequences,
         pack_sequences,
         sample_to_token_budget,
@@ -60,6 +63,7 @@ def main() -> None:
         add_lang_id,
         add_quality_score,
         add_token_count,
+        dsir_logweight,
         hash_tokenize,
     )
     from feagen_spark.functions.windowed import top_k_per_key
@@ -138,6 +142,43 @@ def main() -> None:
             ),
             "quality",
         )
+
+    ds = cfg.get("dsir")
+    if ds:
+        # DSIR (Xie et al. 2023): keep the docs that look like a small
+        # high-quality TARGET corpus — importance log-weights from
+        # hashed-ngram bucket distributions, then a deterministic
+        # Gumbel draw ∝ exp(weight). "k" draws a fixed count
+        # (TakeOrderedAndProject); "threshold" is the corpus-scale
+        # map-only cutoff — exactly one must be set.
+        target = spark.read.parquet(ds["target_path"]).select(
+            id_col, text_col
+        )
+        w = dsir_logweight(
+            docs,
+            target,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=int(ds.get("n_buckets", 1 << 13)),
+            alpha=float(ds.get("alpha", 0.5)),
+            seed=int(ds.get("seed", 42)),
+        )
+        scored = docs.join(
+            w.select(id_col, "dsir_logweight"), on=id_col, how="left"
+        )
+        picked = gumbel_topk(
+            scored,
+            "dsir_logweight",
+            k=(int(ds["k"]) if ds.get("k") else None),
+            threshold=(
+                float(ds["threshold"]) if ds.get("threshold") is not None
+                else None
+            ),
+            id_col=id_col,
+            seed=int(ds.get("seed", 42)),
+        )
+        # dsir_logweight stays as an audit column (like keep_fraction)
+        docs = checkpointed(picked.drop("gumbel_key"), "dsir")
 
     lq = cfg.get("lang_quota")
     if lq:

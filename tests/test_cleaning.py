@@ -770,3 +770,74 @@ if _HYP_SHUF:
             (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i) for i in ids
         )
         assert got == {i: pos for pos, (_, i) in enumerate(keys)}
+
+
+# ------------------------------------------------------------ gumbel_topk
+
+
+def _ref_gumbel_key(doc_id, score, seed=42):
+    import hashlib
+    import math
+
+    h = int(
+        hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16
+    ) % 1_000_000
+    u = (h + 0.5) / 1_000_000.0
+    return score + -math.log(-math.log(u))
+
+
+def test_gumbel_topk_matches_loop_reference(spark):
+    rows = [(i, float(i % 7) - 3.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r.doc_id, r.gumbel_key)
+        for r in C.gumbel_topk(df, "w", k=25, method="md5").collect()
+    ]
+    keys = sorted(
+        ((_ref_gumbel_key(d, s), d) for d, s in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [(d, k) for k, d in keys[:25]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gk), (wd, wk) in zip(got, want):
+        assert abs(gk - wk) < 1e-9
+    # without-replacement: k distinct rows
+    assert len({d for d, _ in got}) == 25
+
+
+def test_gumbel_topk_determinism_threshold_and_contracts(spark):
+    rows = [(i, float((i * 37) % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [r.doc_id for r in C.gumbel_topk(df, "w", k=50).collect()]
+    b = [r.doc_id for r in C.gumbel_topk(df.repartition(13), "w", k=50).collect()]
+    assert a == b  # layout-independent selection
+    c = [r.doc_id for r in C.gumbel_topk(df, "w", k=50, seed=7).collect()]
+    assert a != c  # a new seed is a fresh draw
+    # threshold mode: map-only filter, equals the key cutoff by hand
+    keyed = C.gumbel_topk(df, "w", threshold=10.0, method="md5")
+    by_id = dict(rows)
+    got_thr = keyed.collect()
+    assert got_thr  # the cutoff keeps some rows on this fixture
+    for r in got_thr:
+        assert r.gumbel_key >= 10.0
+        assert abs(r.gumbel_key - _ref_gumbel_key(r.doc_id, by_id[r.doc_id], seed=42)) < 1e-9
+    # threshold mode is map-only: no Exchange anywhere in the plan
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # NULL scores are dropped
+    with_null = spark.createDataFrame(
+        [(1, 2.0), (2, None)], "doc_id long, w double"
+    )
+    assert {r.doc_id for r in C.gumbel_topk(with_null, "w", k=5).collect()} == {1}
+    # exactly one of k / threshold
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        C.gumbel_topk(df, "w")
+    with _pt.raises(ValueError):
+        C.gumbel_topk(df, "w", k=3, threshold=1.0)
+    # k ∪ threshold agree: top-k set == rows at/above the k-th key
+    top = C.gumbel_topk(df, "w", k=10, method="md5").collect()
+    kth = min(r.gumbel_key for r in top)
+    thr = {r.doc_id for r in C.gumbel_topk(df, "w", threshold=kth, method="md5").collect()}
+    assert {r.doc_id for r in top} == thr

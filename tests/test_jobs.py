@@ -288,3 +288,52 @@ def test_curate_corpus_funnel(spark, tmp_path, monkeypatch, capsys):
         F.sum(F.size("packed")).cast("long")
     ).first()[0]
     assert total == n_tokens
+
+
+def test_curate_corpus_dsir_stage(spark, tmp_path, monkeypatch, capsys):
+    """The dsir: stage keeps exactly k docs, preferring target-like
+    content, and records the funnel leg + audit column."""
+    texts = {
+        1: "spark window functions and partition pruning in query plans",
+        2: "spark window functions and shuffle exchanges in query plans",
+        3: "a recipe for sourdough bread with flour water and salt",
+        4: "gardening tips for tomato plants in warm humid climates",
+        5: "spark adaptive query execution and broadcast joins explained",
+        6: "celebrity gossip roundup for the summer entertainment season",
+    }
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(inp)
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(901, "spark query plans window functions shuffle partition joins")],
+        "doc_id long, text string",
+    ).write.parquet(target)
+
+    out = str(tmp_path / "curated_dsir")
+    cfg = tmp_path / "curate_dsir.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_dsir_test",
+                f"input_path: {inp}",
+                f'dsir: {{"target_path": "{target}", "k": 3, '
+                '"n_buckets": 256, "seed": 7}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    f = summary["funnel"]
+    assert f["input"] == 6 and f["dsir"] == 3 and f["output"] == 3
+    kept = spark.read.parquet(out).collect()
+    ids = {r["doc_id"] for r in kept}
+    # the spark-flavored docs dominate the draw (∝ exp(weight))
+    assert ids & {1, 2, 5}
+    # audit column rides along; every kept row carries a finite weight
+    for r in kept:
+        assert r["dsir_logweight"] is not None

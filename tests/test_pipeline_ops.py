@@ -1405,3 +1405,99 @@ def test_append_ivf_index_equals_full_rebuild(spark, vectors, tmp_path):
     # retry idempotency: re-appending the same batch changes nothing
     S.append_ivf_index(inc, cent, incr_path, ingest_batch=0)
     assert rows(incr_path) == want
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _ref_dsir(raw_rows, tgt_ids, m, alpha, use_bigrams=True):
+    """Loop reference for dsir_logweight (md5 bridge): hashed
+    unigram+bigram bucket counts, smoothed log-ratio, per-doc sum."""
+    import hashlib
+    import math
+
+    def grams(text):
+        toks = [
+            t
+            for t in re.split("[ \t\n\f\r]+", (text or "").lower().strip())
+            if t
+        ]
+        g = list(toks)
+        if use_bigrams:
+            g += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return g
+
+    def bkt(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    tgt_cnt: dict[int, int] = {}
+    raw_cnt: dict[int, int] = {}
+    doc_bkts = {}
+    for doc_id, text in raw_rows:
+        bs = [bkt(g) for g in grams(text)]
+        doc_bkts[doc_id] = bs
+        for b in bs:
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+    for doc_id, text in raw_rows:
+        if doc_id in tgt_ids:
+            for b in (bkt(g) for g in grams(text)):
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    tt, rt = sum(tgt_cnt.values()), sum(raw_cnt.values())
+    out = {}
+    for doc_id, bs in doc_bkts.items():
+        if not bs:
+            out[doc_id] = (0, None)
+            continue
+        w = sum(
+            math.log((tgt_cnt.get(b, 0) + alpha) / (tt + alpha * m))
+            - math.log((raw_cnt[b] + alpha) / (rt + alpha * m))
+            for b in bs
+        )
+        out[doc_id] = (len(bs), w)
+    return out
+
+
+def test_dsir_logweight_matches_loop_reference(spark, docs):
+    tgt_ids = {1, 2, 8}  # the "quick brown fox" docs are the target
+    target = docs.where(F.col("doc_id").isin(*tgt_ids))
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in TS.dsir_logweight(
+            docs, target, n_buckets=64, alpha=0.5, method="md5"
+        ).collect()
+    }
+    want = _ref_dsir(DOCS, tgt_ids, m=64, alpha=0.5)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - want[d][1]) < 1e-9, d
+    # target-likeness ordering: a target doc outscores the unrelated one
+    assert got[1][1] > got[7][1]
+    # empty doc: no grams, NULL weight (a filter decision, not a 0)
+    assert got[6] == (0, None)
+
+
+def test_dsir_logweight_self_target_is_zero_and_layout_invariant(spark, docs):
+    # target == raw ⇒ every bucket's log-ratio is exactly ln(x) − ln(x)
+    # = 0.0, so weights are exactly 0 (no float tolerance needed)
+    same = TS.dsir_logweight(docs, docs, n_buckets=32, method="md5")
+    for r in same.collect():
+        assert r.dsir_logweight == 0.0 or (r.n_grams == 0 and r.dsir_logweight is None)
+    # layout invariance: xxhash64 path, repartitioned input
+    tgt = docs.where(F.col("doc_id") <= 3)
+    a = sorted(
+        (r.doc_id, r.n_grams, round(r.dsir_logweight, 9))
+        for r in TS.dsir_logweight(docs, tgt, n_buckets=64).collect()
+        if r.dsir_logweight is not None
+    )
+    b = sorted(
+        (r.doc_id, r.n_grams, round(r.dsir_logweight, 9))
+        for r in TS.dsir_logweight(
+            docs.repartition(7), tgt.repartition(3), n_buckets=64
+        ).collect()
+        if r.dsir_logweight is not None
+    )
+    assert a == b and len(a) == 7
