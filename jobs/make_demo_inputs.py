@@ -19,6 +19,7 @@ LABELS = "/tmp/feagen_demo_labels"
 DOCS_BASE = "/tmp/feagen_demo_docs_base"
 DOCS_STREAM = "/tmp/feagen_demo_docs_stream"
 BENCH = "/tmp/feagen_demo_bench"
+TARGET = "/tmp/feagen_demo_target"
 
 
 def main() -> None:
@@ -103,11 +104,21 @@ def main() -> None:
     ).where(F.col("doc_id") % 10 == 1)
     bench.select("doc_id", "text").write.mode("overwrite").parquet(BENCH)
 
+    # conf/curate.yml's DSIR target set: a disjoint slice of the same
+    # corpus acting as the "small high-quality exemplar corpus" the
+    # dsir: stage resamples toward (doc_id % 10 == 2 never overlaps
+    # the bench slice above)
+    target = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where(F.col("doc_id") % 10 == 2)
+    target.select("doc_id", "text").write.mode("overwrite").parquet(TARGET)
+
     print(
         f"wrote {TRANSCRIPTS} ({df.count()} turns), {LABELS}, "
         f"{DOCS_BASE} (5 docs), {DOCS_STREAM} (2 stream files; "
-        f"expected keeps: 103 104 201 202) and {BENCH} "
-        f"({bench.count()} bench docs)"
+        f"expected keeps: 103 104 201 202), {BENCH} "
+        f"({bench.count()} bench docs) and {TARGET} "
+        f"({target.count()} DSIR target docs)"
     )
 
 
