@@ -410,13 +410,17 @@ def dsir_logweight(
     for the deterministic without-replacement draw).
 
     Scale shape (mirrors ``tfidf_terms``/``unigram_logprob``): gram
-    strings are hashed map-side and never shuffle — the two
-    distribution fits are groupBys over BUCKET IDS (≤ n_buckets rows
-    out), the ln-ratio table is bucket-sized and BROADCAST onto the
-    raw feature stream, and the per-doc sum is one groupBy on the id.
-    Three shuffles total, every shuffled row fixed-width. Docs with no
-    grams keep a NULL weight (a filter decision, not a 0 —
-    ``gumbel_topk`` drops them).
+    strings are hashed map-side and never shuffle, and the
+    explode+hash pass over each corpus runs EXACTLY ONCE — the raw
+    stream pre-aggregates to (id, bucket) counts, corpus per-bucket
+    counts come from a SUM WINDOW over the bucket partitioning of that
+    same frame (the unigram_logprob term-total pattern: no self-join,
+    no recompute), the bucket-sized target counts join BROADCAST, and
+    the per-doc weight is one groupBy of ``cnt·lr``. The two smoothing
+    totals are map-only token-count projections (no explode) — the
+    text columns are scanned twice, the gram stream is built once.
+    Every shuffled row fixed-width. Docs with no grams keep a NULL
+    weight (a filter decision, not a 0 — ``gumbel_topk`` drops them).
 
     method='md5' is the engine-portable bridge (first 8 hex chars of
     md5(gram) → uint32 mod n_buckets — any engine reproduces the
@@ -434,38 +438,56 @@ def dsir_logweight(
         raw, id_col, text_col, n_buckets, use_bigrams, method, seed
     )
     tcnt = tgt.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__tgt_n"))
-    rcnt = rawf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__raw_n"))
-    # totals include buckets absent from the other side — computed
-    # BEFORE the join, each a broadcast 1-row aggregate
-    ttot = tcnt.agg(F.sum("__tgt_n").cast("double").alias("__tgt_total"))
-    rtot = rcnt.agg(F.sum("__raw_n").cast("double").alias("__raw_total"))
-    am = float(alpha) * n_buckets
-    # docs only ever probe raw-present buckets, so a LEFT join of the
-    # raw bucket set against the target counts covers every lookup
-    ratio = (
-        rcnt.join(tcnt, on="__bkt", how="left")
-        .crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(rtot))
-        .select(
-            "__bkt",
-            (
-                F.log(
-                    (F.coalesce("__tgt_n", F.lit(0)) + F.lit(float(alpha)))
-                    / (F.coalesce("__tgt_total", F.lit(0.0)) + F.lit(am))
-                )
-                - F.log(
-                    (F.col("__raw_n") + F.lit(float(alpha)))
-                    / (F.col("__raw_total") + F.lit(am))
-                )
-            ).alias("__lr"),
+
+    def _gram_total(df: DataFrame) -> F.Column:
+        # total gram count WITHOUT the explode+hash pass: per doc it is
+        # n_tok unigrams + max(n_tok − 1, 0) bigrams, and _token_count
+        # == size(_ws_tokens) by contract — a map-only projection, so
+        # the smoothing totals never force a second gram pass over
+        # either corpus (NULL text counts 0 on both paths)
+        n = _token_count(F.col(text_col))
+        per_doc = F.when(n.isNull() | (n <= 0), F.lit(0)).otherwise(
+            n * 2 - 1 if use_bigrams else n
         )
+        return F.coalesce(F.sum(per_doc).cast("double"), F.lit(0.0))
+
+    ttot = target.agg(_gram_total(target).alias("__tgt_total"))
+    rtot = raw.agg(_gram_total(raw).alias("__raw_total"))
+    am = float(alpha) * n_buckets
+    # ONE explode+hash pass over the raw corpus (the pre-restructure
+    # shape paid it twice — measured 2x at sf0.1): pre-aggregate to
+    # (id, bucket) counts, then derive the corpus per-bucket counts
+    # with a SUM WINDOW over the bucket partitioning of that same
+    # frame (the unigram_logprob term-total pattern — no self-join, no
+    # recompute), join the bucket-sized target counts BROADCAST, and
+    # sum cnt·lr per doc. Exchanges: (id,bkt) agg → bkt window → id
+    # agg, every shuffled row fixed-width.
+    feats = rawf.groupBy(id_col, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_bkt = Window.partitionBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     scored = (
-        rawf.join(F.broadcast(ratio), on="__bkt")
+        feats.withColumn("__raw_n", F.sum("__cnt").over(w_bkt))
+        .join(F.broadcast(tcnt), on="__bkt", how="left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .withColumn(
+            "__lr",
+            F.log(
+                (F.coalesce("__tgt_n", F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("__tgt_total") + F.lit(am))
+            )
+            - F.log(
+                (F.col("__raw_n") + F.lit(float(alpha)))
+                / (F.col("__raw_total") + F.lit(am))
+            ),
+        )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum("__lr").alias(out_col),
+            F.sum("__cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("__cnt") * F.col("__lr")).alias(out_col),
         )
     )
     return raw.select(id_col).join(scored, on=id_col, how="left").select(
