@@ -219,7 +219,9 @@ def sample_to_token_budget(
     The budget is met in expectation over the hash draw (docs are kept
     whole); per-stratum realized tokens concentrate tightly for any
     stratum with many docs. Output: the kept rows plus a
-    ``keep_fraction`` audit column."""
+    ``keep_fraction`` audit column. The UPSAMPLING half of the mixture
+    step (duplicating under-budget strata for multiple epochs) is
+    ``repeat_to_token_budget``."""
     if any(b < 0 for b in budgets.values()):
         raise ValueError(f"budgets must be >= 0: {budgets}")
     totals = df.groupBy(strata_col).agg(
@@ -249,6 +251,103 @@ def sample_to_token_budget(
         df.join(F.broadcast(frac), on=strata_col)
         .where(h < F.round(F.col("keep_fraction") * 1_000_000))
         .withColumn("keep_fraction", F.round("keep_fraction", 6))
+    )
+
+
+def repeat_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    method: str = "md5",
+    seed: int = 42,
+    max_epochs: int = 100,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """UPSAMPLE each stratum to a token budget — the other half of the
+    mixture-weights step (``sample_to_token_budget`` downsamples
+    over-represented strata; this duplicates under-represented
+    high-quality ones, the standard pretraining practice of running
+    small curated sources for multiple epochs): per stratum with
+    ``budgets[s] > total_s``, every doc is emitted ``floor(r)`` times
+    (r = budget/total) plus one extra copy for a deterministic
+    hash-fraction of docs covering the remainder — expected kept
+    tokens ≈ budget, docs always duplicated whole. Strata at or over
+    budget pass through once (epoch 0 only; use the downsampler to
+    trim them); strata absent from ``budgets`` also pass through once
+    (upsampling is opt-in per stratum, unlike the downsampler's
+    drop-if-absent).
+
+    Output rows carry ``epoch_col`` (0-based copy index): downstream
+    identity is the COMPOSITE (id, epoch) — e.g. feed
+    ``concat(id, '#', epoch)`` to ``pack_sequences``/
+    ``deterministic_shuffle`` so copies land in different packed
+    sequences and shuffle positions. The extra-copy decision is the
+    module's standard content-hash rule (``_hash_bucket``): bit-stable
+    across runs, layouts, cluster sizes and retries; adding docs to a
+    stratum only re-scales that stratum. ``max_epochs`` bounds the
+    blow-up loudly (a budget 1000x a tiny stratum is almost always a
+    config typo, and each epoch is a full copy of the stratum on
+    disk).
+
+    Scale shape (mirrors the downsampler): one map-combinable groupBy
+    for per-stratum totals (sketch-sized), a BROADCAST join of the
+    repeat factors, then a pure-JVM ``explode(sequence(0, n_copies-1))``
+    — no Python, no driver collect, no skew added (copies of a doc
+    stay in its partition until the next shuffle)."""
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0: {budgets}")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("__total")
+    )
+    bud = F.lit(None).cast("double")
+    for name, v in sorted(budgets.items()):
+        bud = F.when(F.col(strata_col) == F.lit(name), F.lit(float(v))).otherwise(
+            bud
+        )
+    factors = totals.select(
+        strata_col,
+        # repeat factor r >= 1.0: pass-through for absent budgets,
+        # at-or-over-budget strata, and empty strata (total 0)
+        F.when(
+            bud.isNull() | (F.col("__total") <= 0) | (bud <= F.col("__total")),
+            F.lit(1.0),
+        )
+        .otherwise(bud / F.col("__total"))
+        .alias("__r"),
+    )
+    factors = factors.withColumn(
+        "__r",
+        F.when(
+            F.col("__r") > F.lit(float(max_epochs)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "repeat_to_token_budget: repeat factor exceeds "
+                        f"max_epochs={max_epochs} for stratum "
+                    ),
+                    F.col(strata_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("__r")),
+    )
+    h = _hash_bucket(id_col, method, seed, 1_000_000)
+    base = F.floor("__r").cast("int")
+    frac = F.col("__r") - F.floor("__r")
+    n_copies = base + (h < F.round(frac * 1_000_000)).cast("int")
+    return (
+        df.join(F.broadcast(factors), on=strata_col)
+        .withColumn("__n", n_copies)  # always >= 1: floor(r) >= 1
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias(
+                epoch_col
+            ),
+        )
+        .withColumn(epoch_col, F.col(epoch_col).cast("int"))
     )
 
 

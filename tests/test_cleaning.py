@@ -841,3 +841,66 @@ def test_gumbel_topk_determinism_threshold_and_contracts(spark):
     kth = min(r.gumbel_key for r in top)
     thr = {r.doc_id for r in C.gumbel_topk(df, "w", threshold=kth, method="md5").collect()}
     assert {r.doc_id for r in top} == thr
+
+
+# ---------------------------------------------------- repeat_to_token_budget
+
+
+def test_repeat_to_token_budget_expected_tokens_and_epochs(spark):
+    rows = [(i, "wiki" if i < 100 else "web", 100) for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok int")
+    # wiki: 10k tokens, budget 35k -> r=3.5: 3 or 4 copies each;
+    # web: 100k tokens, budget absent -> pass-through
+    out = C.repeat_to_token_budget(
+        df, "src", "n_tok", {"wiki": 35_000}
+    )
+    pdf = out.toPandas()
+    web = pdf[pdf.src == "web"]
+    assert len(web) == 1000 and (web.epoch == 0).all()
+    wiki = pdf[pdf.src == "wiki"]
+    per_doc = wiki.groupby("doc_id").epoch.agg(["count", "max"])
+    # every copy count is 3 or 4, epochs are contiguous 0..n-1
+    assert set(per_doc["count"]) <= {3, 4}
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
+    got_tokens = int(wiki.n_tok.sum())
+    assert abs(got_tokens - 35_000) / 35_000 < 0.05  # ≈ budget
+    # deterministic across layouts
+    pdf2 = (
+        C.repeat_to_token_budget(
+            df.repartition(13), "src", "n_tok", {"wiki": 35_000}
+        )
+        .toPandas()
+    )
+    a = pdf.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    b = pdf2.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    assert (a[["doc_id", "epoch"]].values == b[["doc_id", "epoch"]].values).all()
+
+
+def test_repeat_to_token_budget_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 50), (3, "b", 10), (4, "c", 0)],
+        "doc_id long, src string, n_tok int",
+    )
+    # at-budget and under-budget strata pass through once; integer
+    # factor duplicates exactly; all-zero-token stratum passes through
+    out = C.repeat_to_token_budget(
+        df, "src", "n_tok", {"a": 100, "b": 30, "c": 5}
+    ).toPandas()
+    assert len(out[out.src == "a"]) == 2          # at budget: 1 epoch
+    assert len(out[out.src == "b"]) == 3          # r=3 exactly
+    assert len(out[out.src == "c"]) == 1          # zero tokens: no blow-up
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        C.repeat_to_token_budget(df, "src", "n_tok", {"a": -1})
+    # a runaway factor fails loudly instead of exploding the corpus
+    with _pt.raises(Exception, match="max_epochs"):
+        C.repeat_to_token_budget(
+            df, "src", "n_tok", {"b": 10_000}, max_epochs=10
+        ).count()
+    # broadcast factors: the corpus side never shuffles
+    plan = (
+        C.repeat_to_token_budget(df, "src", "n_tok", {"b": 30})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
