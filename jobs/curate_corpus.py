@@ -14,6 +14,8 @@ existing operator; this wires them from config:
                                  cleaning.gumbel_topk, r6)
       -> per-language quota     (windowed.top_k_per_key by quality)
       -> token budget mixture   (cleaning.sample_to_token_budget)
+      -> token upsampling       (cleaning.repeat_to_token_budget ->
+                                 composite "<id>#<epoch>" ids, r6)
       -> reproducible order     (cleaning.deterministic_shuffle)
       -> pack + materialize     (hash_tokenize -> pack_sequences ->
                                  materialize_packed_sequences)
@@ -57,6 +59,7 @@ def main() -> None:
         gumbel_topk,
         materialize_packed_sequences,
         pack_sequences,
+        repeat_to_token_budget,
         sample_to_token_budget,
     )
     from feagen_spark.operators.textstats import (
@@ -211,6 +214,33 @@ def main() -> None:
                 id_col=id_col,
             ),
             "token_budget",
+        )
+
+    tu = cfg.get("token_upsample")
+    if tu:
+        # the other half of mixture weights: duplicate under-budget
+        # strata for multiple epochs (repeat_to_token_budget). The
+        # copies are then folded into a COMPOSITE string id
+        # ("<id>#<epoch>") so every downstream stage that keys on
+        # id_col (order, pack) treats each epoch copy as its own doc —
+        # both handle string ids via the md5 bridge.
+        if "token_count" not in docs.columns:
+            docs = add_token_count(docs, text_col=text_col)
+        if tu.get("strata_col", "lang_id") == "lang_id" and "lang_id" not in docs.columns:
+            docs = add_lang_id(docs, text_col=text_col)
+        up = repeat_to_token_budget(
+            docs,
+            strata_col=tu.get("strata_col", "lang_id"),
+            token_col="token_count",
+            budgets={k: int(v) for k, v in tu["budgets"].items()},
+            id_col=id_col,
+            max_epochs=int(tu.get("max_epochs", 100)),
+        )
+        docs = checkpointed(
+            up.withColumn(
+                id_col, F.concat_ws("#", F.col(id_col), F.col("epoch"))
+            ).drop("epoch"),
+            "token_upsample",
         )
 
     od = cfg.get("order")

@@ -337,3 +337,43 @@ def test_curate_corpus_dsir_stage(spark, tmp_path, monkeypatch, capsys):
     # audit column rides along; every kept row carries a finite weight
     for r in kept:
         assert r["dsir_logweight"] is not None
+
+
+def test_curate_corpus_token_upsample_stage(spark, tmp_path, monkeypatch, capsys):
+    """The token_upsample: stage duplicates the under-budget stratum
+    into epoch copies with composite ids and the funnel records the
+    growth; the pack stage downstream packs every copy."""
+    rows = [(i, "alpha beta gamma delta " * 5, "wiki") for i in range(10)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, src string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated_up")
+    packed = str(tmp_path / "packed_up")
+    cfg = tmp_path / "curate_up.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_up_test",
+                f"input_path: {inp}",
+                # 10 docs x 20 tokens = 200 tokens; budget 600 -> r=3
+                'token_upsample: {"strata_col": "src", "budgets": {"wiki": 600}}',
+                'pack: {"max_len": 64, "n_buckets": 2, "vocab_size": 512, '
+                f'"output_path": "{packed}"}}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = summary["funnel"]
+    assert f["input"] == 10 and f["token_upsample"] == 30
+    kept = spark.read.parquet(out).toPandas()
+    assert len(kept) == 30
+    # composite ids: 3 epoch copies per source doc
+    assert set(kept.doc_id.str.split("#").str[1]) == {"0", "1", "2"}
+    pk = spark.read.parquet(packed)
+    # every copy's tokens are packed: 30 copies x 20 tokens
+    assert pk.agg(F.sum(F.size("packed")).cast("long")).first()[0] == 600
