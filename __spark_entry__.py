@@ -689,8 +689,8 @@ def q_doc_scrub_chunks(spark, sf_dir):
 
 
 def q_doc_quality_signals(spark, sf_dir):
-    """Two per-doc quality signals in one entry (r5, 50-entry artifact
-    cap):
+    """Three per-doc quality-signal families in one entry (r5/r6,
+    50-entry artifact cap):
 
     1. Repetitiousness: duplicated word-n-gram ratio (Gopher-style
        repetition filter), JVM map-only. n=2: the synthetic corpus
@@ -699,6 +699,11 @@ def q_doc_quality_signals(spark, sf_dir):
     2. CCNet-style mean unigram negative log-probability under the
        corpus's own unigram distribution (textstats.unigram_logprob —
        tf groupBy + term-total window + broadcast corpus total).
+    3. The Gopher rule set (r6, textstats.add_gopher_flags): every
+       rule input (word count, mean word length, symbol/bullet/
+       ellipsis-line/alpha-word ratios, required-stopword hits) plus
+       the 0/1 keep verdict at the published default thresholds — all
+       JVM map-only, DuckDB recomputes each signal AND the verdict.
 
     Joined on doc_id for the harness; each operator keeps its own plan
     shape."""
@@ -713,7 +718,18 @@ def q_doc_quality_signals(spark, sf_dir):
         "n_tokens",
         (F.round("neg_logprob", 6) + 0.0).alias("neg_logprob"),
     )
-    return rep.join(lp, on="doc_id")
+    gop = TS.add_gopher_flags(docs).select(
+        "doc_id",
+        F.col("gq_n_words").alias("g_words"),
+        (F.round("gq_mean_word_len", 6) + 0.0).alias("g_mwl"),
+        (F.round("gq_symbol_ratio", 6) + 0.0).alias("g_sym"),
+        (F.round("gq_bullet_ratio", 6) + 0.0).alias("g_bullet"),
+        (F.round("gq_ellipsis_line_ratio", 6) + 0.0).alias("g_ell"),
+        (F.round("gq_alpha_word_ratio", 6) + 0.0).alias("g_alpha"),
+        F.col("gq_stop_hits").cast("int").alias("g_stop"),
+        F.col("gopher_keep").alias("g_keep"),
+    )
+    return rep.join(lp, on="doc_id").join(gop, on="doc_id")
 
 
 def q_doc_tfidf(spark, sf_dir):
@@ -2213,11 +2229,71 @@ def oracle_sql() -> dict[str, str]:
                    -sum(tf * ln(term_total / total_tokens)) / sum(tf) AS nl
             FROM tf JOIN tt USING (term) CROSS JOIN tot
             GROUP BY doc_id
+        ), gtoks AS (
+            -- Gopher rule inputs (r6): same tokenizer, lines split on
+            -- the literal newline; ltrim/rtrim pinned to space-only to
+            -- match Spark's defaults
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), gsig AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS g_words,
+                   CASE WHEN len(toks) > 0 THEN
+                       list_sum(list_transform(toks, t -> length(t)))
+                           / CAST(len(toks) AS DOUBLE)
+                   END AS mwl,
+                   CASE WHEN len(toks) > 0 THEN
+                       ( (length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '…', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3.0
+                       ) / CAST(len(toks) AS DOUBLE)
+                   END AS sym,
+                   len(list_filter(lines,
+                       l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•')))
+                       / CAST(len(lines) AS DOUBLE) AS bul,
+                   len(list_filter(lines,
+                       l -> ends_with(rtrim(l, ' '), '...')
+                         OR ends_with(rtrim(l, ' '), '…')))
+                       / CAST(len(lines) AS DOUBLE) AS ell,
+                   CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                           / CAST(len(toks) AS DOUBLE)
+                   END AS alpha,
+                   CAST(list_contains(toks, 'the') AS INT)
+                     + CAST(list_contains(toks, 'be') AS INT)
+                     + CAST(list_contains(toks, 'to') AS INT)
+                     + CAST(list_contains(toks, 'of') AS INT)
+                     + CAST(list_contains(toks, 'and') AS INT)
+                     + CAST(list_contains(toks, 'that') AS INT)
+                     + CAST(list_contains(toks, 'have') AS INT)
+                     + CAST(list_contains(toks, 'with') AS INT) AS stop_hits
+            FROM gtoks
+        ), gkeep AS (
+            -- verdict on the UNROUNDED signals, like the operator
+            SELECT doc_id, g_words, mwl, sym, bul, ell, alpha, stop_hits,
+                   CAST(coalesce(
+                       g_words BETWEEN 50 AND 100000
+                       AND mwl BETWEEN 3.0 AND 10.0
+                       AND sym < 0.1 AND bul < 0.9 AND ell < 0.3
+                       AND alpha >= 0.8 AND stop_hits >= 2, false) AS INT)
+                       AS g_keep
+            FROM gsig
         )
         SELECT r.doc_id, r.n_grams, r.dup_ratio,
                coalesce(sc.n_tokens, 0) AS n_tokens,
-               round(sc.nl, 6) + 0.0 AS neg_logprob
-        FROM rep r LEFT JOIN sc USING (doc_id)
+               round(sc.nl, 6) + 0.0 AS neg_logprob,
+               gk.g_words,
+               round(gk.mwl, 6) + 0.0 AS g_mwl,
+               round(gk.sym, 6) + 0.0 AS g_sym,
+               round(gk.bul, 6) + 0.0 AS g_bullet,
+               round(gk.ell, 6) + 0.0 AS g_ell,
+               round(gk.alpha, 6) + 0.0 AS g_alpha,
+               CAST(gk.stop_hits AS INT) AS g_stop,
+               gk.g_keep
+        FROM rep r LEFT JOIN sc USING (doc_id) JOIN gkeep gk USING (doc_id)
     """
 
     # SimHash: recompute the 64-bit sketch in SQL — md5-derived token

@@ -22,6 +22,9 @@ from pyspark.sql.window import Window
 # Tiny deterministic stopword lists for the heuristic scorers. These are
 # fixed vocabulary, not a linguistic claim — the oracle uses the same sets.
 STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+# The Gopher rule set's required-word list (Rae et al. 2021, §A1.1):
+# a page must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 LANG_MARKERS = {
     "en": ("the", "and", "is"),
     "de": ("der", "und", "ist"),
@@ -552,3 +555,107 @@ def hash_tokenize(
     else:
         raise ValueError(f"unknown method {method!r}")
     return df.withColumn(out_col, F.transform(toks, tid))
+
+
+def add_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A1.1 — the
+    standard public pretraining-corpus heuristic set, also the core of
+    C4/FineWeb recipes). Appends the per-doc rule inputs plus a single
+    ``gopher_keep`` 0/1 verdict:
+
+    - ``gq_n_words``            whitespace words (shared ``_ws_tokens``)
+    - ``gq_mean_word_len``      mean word length in chars
+    - ``gq_symbol_ratio``       ('#' chars + '…' chars + '...' runs) / words
+    - ``gq_bullet_ratio``       lines starting with '-', '*' or '•'
+    - ``gq_ellipsis_line_ratio``lines ending with '...' or '…'
+    - ``gq_alpha_word_ratio``   words containing an ASCII letter
+    - ``gq_stop_hits``          how many of GOPHER_STOPWORDS appear
+    - ``gopher_keep``           1 iff every rule passes
+
+    Keep iff min_words <= words <= max_words, min_mean <= mean word len
+    <= max_mean, symbol_ratio < max_symbol_ratio, bullet_ratio <
+    max_bullet_ratio, ellipsis_line_ratio < max_ellipsis_line_ratio,
+    alpha_word_ratio >= min_alpha_word_ratio and stop_hits >=
+    min_stop_hits. NULL text → NULL signals, keep 0. Zero-word docs
+    have NULL ratios and fail the word-count rule.
+
+    Scale shape: pure JVM map-only — split/higher-order-function
+    expressions inside whole-stage codegen, no Python, no shuffle, no
+    state; thresholds are plan-time literals. Every signal has an exact
+    ANSI-SQL twin (DuckDB oracle in __spark_entry__.py): lines split on
+    the literal newline, ltrim/rtrim are space-only in both engines,
+    '…' is one character under both length() implementations, and the
+    alpha test is the two-engine-identical class [a-z] over the
+    lowercased tokens."""
+    text = F.col(text_col)
+    toks = _ws_tokens(text)
+    n_words = F.size(toks)  # NULL text -> NULL (size(NULL) = NULL here)
+    nw_d = n_words.cast("double")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(n_words > 0, char_sum / nw_d)
+    count_lit = lambda lit: (  # noqa: E731  occurrences of a literal
+        F.length(text) - F.length(F.replace(text, F.lit(lit)))
+    )
+    symbols = (
+        count_lit("#") + count_lit("…") + (count_lit("...") / F.lit(3))
+    )
+    symbol_ratio = F.when(n_words > 0, symbols / nw_d)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    n_ell = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith(F.lit("..."))
+            | F.rtrim(l).endswith(F.lit("…")),
+        )
+    )
+    bullet_ratio = F.when(n_lines > 0, n_bullet / n_lines)
+    ellipsis_ratio = F.when(n_lines > 0, n_ell / n_lines)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / nw_d)
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    out = (
+        df.withColumn("gq_n_words", n_words.cast("long"))
+        .withColumn("gq_mean_word_len", mean_wl)
+        .withColumn("gq_symbol_ratio", symbol_ratio)
+        .withColumn("gq_bullet_ratio", bullet_ratio)
+        .withColumn("gq_ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("gq_alpha_word_ratio", alpha_ratio)
+        .withColumn("gq_stop_hits", F.when(toks.isNotNull(), stop_hits))
+    )
+    keep = (
+        F.col("gq_n_words").between(min_words, max_words)
+        & F.col("gq_mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("gq_symbol_ratio") < max_symbol_ratio)
+        & (F.col("gq_bullet_ratio") < max_bullet_ratio)
+        & (F.col("gq_ellipsis_line_ratio") < max_ellipsis_line_ratio)
+        & (F.col("gq_alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("gq_stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn(
+        "gopher_keep", F.coalesce(keep, F.lit(False)).cast("int")
+    )

@@ -1501,3 +1501,109 @@ def test_dsir_logweight_self_target_is_zero_and_layout_invariant(spark, docs):
         if r.dsir_logweight is not None
     )
     assert a == b and len(a) == 7
+
+
+# ---------------------------------------------------------------- gopher
+
+
+GOPHER_DOCS = [
+    # long clean doc: passes every rule at the test thresholds
+    (1, "the cat and the dog have to be friends with all of that time "
+        "and they run and they play and they sleep and they eat food"),
+    # bullet-heavy: >50% of lines start with a bullet marker
+    (2, "the list be of and that have with items\n- one\n * two\n• three"),
+    # ellipsis-heavy: most lines trail off
+    (3, "the story be of and that have with more...\nwait for it …\nend."),
+    # symbol-heavy: '#' spam
+    (4, "the tag be of and ### that have with #### stuff ## here ###"),
+    # non-alpha words: digit runs fail the alpha-word rule
+    (5, "the 111 222 be 333 444 of 555 666 and 777 888 that have with"),
+    # too few required stopwords
+    (6, "zebra quokka wombat lemur gecko iguana mantis osprey puffin heron"),
+    (7, ""),          # zero words
+    (8, None),        # NULL text
+    # mean word length out of band (all 1-char words)
+    (9, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 2),
+]
+
+
+def _gopher_ref(text, min_words, max_words, min_mwl, max_mwl,
+                max_sym, max_bul, max_ell, min_alpha, min_stop):
+    """Loop reference implementing the documented rule definitions."""
+    if text is None:
+        return dict(n=None, keep=0)
+    toks = [t for t in re.split("[ \t\n\f\r]+", text.strip().lower()) if t]
+    n = len(toks)
+    mwl = sum(len(t) for t in toks) / n if n else None
+    sym = (text.count("#") + text.count("…") + text.count("...")) / n if n else None
+    lines = text.split("\n")
+    bul = sum(l.lstrip(" ").startswith(("-", "*", "•")) for l in lines) / len(lines)
+    ell = sum(l.rstrip(" ").endswith(("...", "…")) for l in lines) / len(lines)
+    alpha = sum(bool(re.search("[a-z]", t)) for t in toks) / n if n else None
+    stop = sum(w in toks for w in TS.GOPHER_STOPWORDS)
+    keep = (
+        n is not None and min_words <= n <= max_words
+        and mwl is not None and min_mwl <= mwl <= max_mwl
+        and sym is not None and sym < max_sym
+        and bul < max_bul and ell < max_ell
+        and alpha is not None and alpha >= min_alpha
+        and stop >= min_stop
+    )
+    return dict(n=n, mwl=mwl, sym=sym, bul=bul, ell=ell, alpha=alpha,
+                stop=stop, keep=int(keep))
+
+
+def test_gopher_flags_match_loop_reference(spark):
+    """Every signal and the keep verdict vs a pure-python loop oracle,
+    across pass/bullet/ellipsis/symbol/alpha/stopword/empty/NULL/short
+    fixtures (thresholds lowered so the fixture set straddles each
+    rule)."""
+    kw = dict(min_words=10, max_words=100, min_mean_word_len=2.0,
+              max_mean_word_len=6.0, max_symbol_ratio=0.1,
+              max_bullet_ratio=0.5, max_ellipsis_line_ratio=0.5,
+              min_alpha_word_ratio=0.8, min_stop_hits=2)
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    got = TS.add_gopher_flags(df, **kw).orderBy("doc_id").collect()
+    keeps_seen = set()
+    for r, (_, text) in zip(got, GOPHER_DOCS):
+        exp = _gopher_ref(text, 10, 100, 2.0, 6.0, 0.1, 0.5, 0.5, 0.8, 2)
+        assert r["gq_n_words"] == exp["n"], r
+        assert r["gopher_keep"] == exp["keep"], (r, exp)
+        keeps_seen.add(exp["keep"])
+        if text is None:
+            assert r["gq_mean_word_len"] is None
+            assert r["gq_stop_hits"] is None
+            continue
+        for col, key in [("gq_mean_word_len", "mwl"),
+                         ("gq_symbol_ratio", "sym"),
+                         ("gq_bullet_ratio", "bul"),
+                         ("gq_ellipsis_line_ratio", "ell"),
+                         ("gq_alpha_word_ratio", "alpha")]:
+            if exp[key] is None:
+                assert r[col] is None, (col, r)
+            else:
+                assert np.isclose(r[col], exp[key]), (col, r, exp)
+        assert r["gq_stop_hits"] == exp["stop"], r
+    assert keeps_seen == {0, 1}  # the fixture straddles the verdict
+    # each rule-specific fixture fails for its own reason
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["gopher_keep"] == 1
+    assert by_id[2]["gq_bullet_ratio"] >= 0.5
+    assert by_id[3]["gq_ellipsis_line_ratio"] >= 0.5
+    assert by_id[4]["gq_symbol_ratio"] >= 0.1
+    assert by_id[5]["gq_alpha_word_ratio"] < 0.8
+    assert by_id[5]["gq_n_words"] >= 10  # fails ONLY the alpha rule
+    assert by_id[6]["gq_stop_hits"] < 2
+    assert by_id[9]["gq_mean_word_len"] < 2.0
+
+
+def test_gopher_flags_jvm_map_only(spark):
+    """Corpus-filter hot path: must compile to a map-only JVM plan —
+    no Exchange, no Python workers."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = TS.add_gopher_flags(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in final, final
