@@ -10,6 +10,7 @@ existing operator; this wires them from config:
                                  components -> anti-join non-canonical)
       -> decontaminate          (dedup.cross_ngram_overlap vs a bench set)
       -> quality floor          (textstats.add_quality_score)
+      -> Gopher rule filter     (textstats.add_gopher_flags, r6)
       -> DSIR target-likeness   (textstats.dsir_logweight ->
                                  cleaning.gumbel_topk, r6)
       -> per-language quota     (windowed.top_k_per_key by quality)
@@ -63,6 +64,7 @@ def main() -> None:
         sample_to_token_budget,
     )
     from feagen_spark.operators.textstats import (
+        add_gopher_flags,
         add_lang_id,
         add_quality_score,
         add_token_count,
@@ -145,6 +147,26 @@ def main() -> None:
             ),
             "quality",
         )
+
+    gf = cfg.get("gopher")
+    if gf:
+        # Gopher rule-based filter: any operator threshold can be set
+        # in config (min_words, max_symbol_ratio, ...); unknown keys
+        # fail loudly as TypeErrors. Rule-input columns are dropped
+        # after the verdict unless keep_signals is set.
+        flagged = add_gopher_flags(
+            docs,
+            text_col=text_col,
+            **{k: v for k, v in gf.items() if k != "keep_signals"},
+        )
+        kept = flagged.where(F.col("gopher_keep") == 1)
+        if not gf.get("keep_signals"):
+            kept = kept.drop(
+                "gq_n_words", "gq_mean_word_len", "gq_symbol_ratio",
+                "gq_bullet_ratio", "gq_ellipsis_line_ratio",
+                "gq_alpha_word_ratio", "gq_stop_hits", "gopher_keep",
+            )
+        docs = checkpointed(kept, "gopher")
 
     ds = cfg.get("dsir")
     if ds:

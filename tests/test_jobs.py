@@ -377,3 +377,44 @@ def test_curate_corpus_token_upsample_stage(spark, tmp_path, monkeypatch, capsys
     pk = spark.read.parquet(packed)
     # every copy's tokens are packed: 30 copies x 20 tokens
     assert pk.agg(F.sum(F.size("packed")).cast("long")).first()[0] == 600
+
+
+def test_curate_corpus_gopher_stage(spark, tmp_path, monkeypatch, capsys):
+    """The gopher: stage drops rule-violating docs (config thresholds
+    reach the operator kwargs) and strips the rule-input columns from
+    the surviving schema by default."""
+    long_clean = ("the cat and the dog have to be friends with all of "
+                  "that time and they run and play ") * 2
+    rows = [
+        (1, long_clean, "wiki"),
+        (2, long_clean + " extra words here too", "wiki"),
+        (3, "the list\n- one\n- two\n- three\n- four", "web"),  # bullets
+        (4, "too short", "web"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, src string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated_gq")
+    cfg = tmp_path / "curate_gq.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_gq_test",
+                f"input_path: {inp}",
+                'gopher: {"min_words": 10, "max_words": 1000,'
+                ' "min_mean_word_len": 2.0, "max_bullet_ratio": 0.5}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel"] == {"input": 4, "gopher": 2, "output": 2}
+    kept = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    # rule-input columns are dropped unless keep_signals is set
+    assert not [c for c in kept.columns if c.startswith("gq_")]
+    assert "gopher_keep" not in kept.columns
