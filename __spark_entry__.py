@@ -587,10 +587,13 @@ def q_doc_profile(spark, sf_dir):
     and (r6) the reproducible global training-order rank
     (cleaning.deterministic_shuffle, md5 mode — the DataFrame
     zipWithIndex pattern: ONE pinned range exchange, pure-JVM mono-id
-    local ranks, broadcast offsets) — all one row
-    per document, joined on doc_id. The shuffle runs on the id
-    projection only: the rank is a function of ids, so the corpus text
-    never rides its range exchange.
+    local ranks, broadcast offsets) and the EXACT proportional
+    stratified-interleave order (cleaning.interleave_strata over lang:
+    within-stratum rank r → pos r/(n+1) → global rank, no per-stratum
+    window over the corpus) — all one row
+    per document, joined on doc_id. The shuffle and interleave run on
+    id projections only: both orders are functions of (id, stratum),
+    so the corpus text never rides their range exchanges.
 
     The profile side keeps the ``_docs()`` repartition (regex token
     scan is CPU-heavy over a single-row-group parquet); the dedup/split
@@ -602,6 +605,7 @@ def q_doc_profile(spark, sf_dir):
     from feagen_spark.operators.cleaning import (
         deterministic_shuffle,
         hash_split,
+        interleave_strata,
     )
 
     d = TS.text_profile(_docs(spark, sf_dir))
@@ -629,7 +633,18 @@ def q_doc_profile(spark, sf_dir):
     shuf = deterministic_shuffle(
         docs.select("doc_id"), "doc_id", seed=42, method="md5"
     ).select("doc_id", "shuffle_rank")
-    return prof.join(keep_split, on="doc_id").join(shuf, on="doc_id")
+    il = interleave_strata(
+        docs.select("doc_id", "lang"), "lang", seed=42, method="md5"
+    ).select(
+        "doc_id",
+        (F.round("interleave_pos", 6) + 0.0).alias("interleave_pos"),
+        "interleave_rank",
+    )
+    return (
+        prof.join(keep_split, on="doc_id")
+        .join(shuf, on="doc_id")
+        .join(il, on="doc_id")
+    )
 
 
 def q_doc_dup_audit(spark, sf_dir):
@@ -2050,6 +2065,18 @@ def oracle_sql() -> dict[str, str]:
         0.0), 6)
     """
     sql["doc_profile"] = f"""
+        WITH il AS (
+            -- stratified interleave (r6): within-lang rank by the md5
+            -- key -> pos r/(n+1); global order by (pos, key, id)
+            SELECT doc_id,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS ikey,
+                   (row_number() OVER (PARTITION BY lang
+                        ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id))
+                     / CAST(count(*) OVER (PARTITION BY lang) + 1 AS DOUBLE)
+                     AS ipos
+            FROM documents
+        ), base AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS char_len,
                CAST({_TOKENS} AS BIGINT) AS token_count,
@@ -2074,6 +2101,12 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY {_NORM}) AS keeper
             FROM documents
         )
+        )
+        SELECT base.*,
+               round(il.ipos, 6) + 0.0 AS interleave_pos,
+               CAST(row_number() OVER (ORDER BY il.ipos, il.ikey, il.doc_id)
+                    - 1 AS BIGINT) AS interleave_rank
+        FROM base JOIN il USING (doc_id)
     """
 
     # negatives oracle: reruns the md5 hash-bucket probe end-to-end in

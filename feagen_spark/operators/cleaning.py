@@ -806,12 +806,17 @@ def deterministic_shuffle(
     ).sortWithinPartitions(key_col, id_col)
     if rank_col is None:
         return sorted_df
+    return _contiguous_rank(sorted_df, rank_col, "deterministic_shuffle")
 
-    # mono id = pid·2³³ + in-partition ordinal, assigned in the sorted
-    # physical row order — pure JVM, no window, no Python. The lazy
-    # localCheckpoint pins the numbering so both consumers below read
-    # one materialization (see docstring).
-    ranked = (
+
+def _numbered(sorted_df: DataFrame) -> DataFrame:
+    """Mono id = pid·2³³ + in-partition ordinal, assigned in the sorted
+    physical row order — pure JVM, no window, no Python. The lazy
+    localCheckpoint pins the numbering so every consumer (the rank
+    join-back AND the counts side table) reads ONE materialization:
+    two independently-executed range exchanges would each sample their
+    own range boundaries and describe different numberings."""
+    return (
         sorted_df.withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
         .withColumn(
@@ -821,23 +826,39 @@ def deterministic_shuffle(
             "__local_rank", F.col("__mid").bitwiseAND(F.lit(2**33 - 1))
         )
     )
-    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    # mono-id ordinals live in 33 bits: a partition at >= 2^33 rows
-    # would overflow into the pid bits and SILENTLY corrupt ranks —
-    # the already-computed counts branch detects that for free and
-    # fails loudly instead (code-review r6; the first overflowing
-    # partition always surfaces as an exact-2^33 count)
-    counts = counts.withColumn(
+
+
+def _guard_33bit(counts: DataFrame, op_name: str) -> DataFrame:
+    """Mono-id ordinals live in 33 bits: a partition at >= 2^33 rows
+    would overflow into the pid bits and SILENTLY corrupt ranks — the
+    already-computed counts branch detects that for free and fails
+    loudly instead (code-review r6; the first overflowing partition
+    always surfaces as an exact-2^33 count)."""
+    return counts.withColumn(
         "__n",
         F.when(
             F.col("__n") >= F.lit(2**33),
             F.raise_error(
                 F.lit(
-                    "deterministic_shuffle: a range partition holds >= 2^33 "
+                    f"{op_name}: a range partition holds >= 2^33 "
                     "rows — raise n_partitions"
                 )
             ).cast("long"),
         ).otherwise(F.col("__n")),
+    )
+
+
+def _contiguous_rank(
+    sorted_df: DataFrame, rank_col: str, op_name: str
+) -> DataFrame:
+    """Global contiguous 0-based rank over an ALREADY range-partitioned
+    + within-partition-sorted frame, without a single-task global
+    window: mono-id numbering + a partition-count side table whose
+    cumulative offsets broadcast-join back on partition id."""
+    ranked = _numbered(sorted_df)
+    counts = _guard_33bit(
+        ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")),
+        op_name,
     )
     # the offsets window runs over n_partitions rows — single tiny task
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -848,3 +869,117 @@ def deterministic_shuffle(
         rank_col, (F.col("__off") + F.col("__local_rank")).cast("long")
     )
     return out.drop("__pid", "__mid", "__local_rank", "__off")
+
+
+def interleave_strata(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "xxhash64",
+    n_partitions: int | None = None,
+    pos_col: str = "interleave_pos",
+    rank_col: str | None = "interleave_rank",
+    key_col: str = "interleave_key",
+) -> DataFrame:
+    """EXACT proportional stratified interleave — the training-order
+    step after mixture weighting: spread every stratum (source,
+    language, epoch) evenly through the corpus order instead of
+    trusting a plain hash shuffle's statistical spread. A stratum with
+    n_s docs lands at fractional positions 1/(n_s+1) .. n_s/(n_s+1):
+    any prefix of the order holds each stratum's proportional share
+    ±1 — even a 2-doc stratum splits the corpus in thirds, where a
+    hash shuffle can clump both copies anywhere. Within a stratum the
+    order is the module's standard content-hash rule (hash(seed, id)):
+    rerun/layout/retry bit-stable, a new seed = a new epoch order.
+
+    Emits ``pos_col`` (the global sort key, double in (0,1)) and, with
+    ``rank_col``, the contiguous 0-based global rank; ``rank_col=None``
+    returns the rows physically ordered for a direct writer (same
+    contract as ``deterministic_shuffle``). Ties across equal-size
+    strata (identical r/(n+1) rationals) break by (key, id) —
+    deterministic, engine-reproducible. method='md5' is the portable
+    bridge; NULL ids and NULL strata are rejected loudly (a NULL
+    stratum would silently drop out of the offset join-back).
+
+    Scale shape: NO per-stratum window over the corpus (a dominant
+    stratum would pin one task at 100 TB). Within-stratum ranks come
+    from ONE repartitionByRange((strata, key)) + the mono-id numbering,
+    with a (partition × stratum)-sized side table — range partitioning
+    keeps each stratum contiguous, so the table is O(partitions +
+    strata) rows — whose per-stratum cumulative offsets and totals
+    broadcast-join back. The global rank (if requested) is a second
+    range exchange on pos via the shared ``_contiguous_rank``
+    machinery. Two range exchanges total, everything else broadcast;
+    no Python, no driver collect.
+
+    NOTE: like ``deterministic_shuffle`` ranks, positions are a
+    property of the WHOLE corpus — adding rows to a stratum re-spaces
+    that stratum. Pin the corpus snapshot first."""
+    cid = F.col(id_col)
+    null_guard = F.when(
+        cid.isNull() | F.col(strata_col).isNull(),
+        F.raise_error(
+            F.lit(f"interleave_strata: NULL {id_col}/{strata_col}")
+        ).cast(df.schema[id_col].dataType),
+    ).otherwise(cid)
+    if method == "md5":
+        key = F.md5(F.concat(F.lit(f"{seed}:"), null_guard.cast("string")))
+    elif method == "xxhash64":
+        key = F.xxhash64(F.lit(seed), null_guard)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if not n_partitions:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    keyed = df.withColumn(key_col, key)
+    strata = F.col(strata_col)
+
+    # pass 1: within-stratum rank. Range partitioning on (strata, key)
+    # keeps each stratum contiguous across partitions; the side table
+    # is one row per (partition, stratum) pair it holds.
+    numbered = _numbered(
+        keyed.repartitionByRange(
+            n_partitions, strata, F.col(key_col), cid
+        ).sortWithinPartitions(strata_col, key_col, id_col)
+    )
+    side = _guard_33bit(
+        numbered.groupBy("__pid", strata_col).agg(
+            F.count(F.lit(1)).alias("__n"),
+            # __local_rank counts ALL rows of the physical partition;
+            # a stratum's rows inside it are contiguous (the sort puts
+            # strata first), so its in-partition rank is the offset
+            # from the stratum's FIRST ordinal there
+            F.min("__local_rank").alias("__minl"),
+        ),
+        "interleave_strata",
+    )
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(strata_col)
+    side = side.select(
+        "__pid",
+        strata_col,
+        "__minl",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__soff"),
+        F.sum("__n").over(w_tot).alias("__ns"),
+    )
+    pos = (
+        F.col("__soff") + F.col("__local_rank") - F.col("__minl") + 1
+    ) / (F.col("__ns") + 1).cast("double")
+    out = (
+        numbered.join(F.broadcast(side), on=["__pid", strata_col])
+        .withColumn(pos_col, pos)
+        .drop("__pid", "__mid", "__local_rank", "__soff", "__ns", "__minl")
+    )
+    # pass 2: global order by (pos, key, id)
+    ordered = out.repartitionByRange(
+        n_partitions, F.col(pos_col), F.col(key_col), cid
+    ).sortWithinPartitions(pos_col, key_col, id_col)
+    if rank_col is None:
+        return ordered
+    return _contiguous_rank(ordered, rank_col, "interleave_strata")

@@ -17,7 +17,10 @@ existing operator; this wires them from config:
       -> token budget mixture   (cleaning.sample_to_token_budget)
       -> token upsampling       (cleaning.repeat_to_token_budget ->
                                  composite "<id>#<epoch>" ids, r6)
-      -> reproducible order     (cleaning.deterministic_shuffle)
+      -> reproducible order     (cleaning.deterministic_shuffle, or
+                                 cleaning.interleave_strata when
+                                 order.interleave names a stratum
+                                 column, r6)
       -> pack + materialize     (hash_tokenize -> pack_sequences ->
                                  materialize_packed_sequences)
 
@@ -58,6 +61,7 @@ def main() -> None:
     from feagen_spark.operators.cleaning import (
         deterministic_shuffle,
         gumbel_topk,
+        interleave_strata,
         materialize_packed_sequences,
         pack_sequences,
         repeat_to_token_budget,
@@ -267,15 +271,35 @@ def main() -> None:
 
     od = cfg.get("order")
     if od:
-        shuffled = deterministic_shuffle(
-            docs,
-            id_col=id_col,
-            seed=int(od.get("seed", 0)),
-            n_partitions=(
-                int(od["n_partitions"]) if od.get("n_partitions") else None
-            ),
-            rank_col="shuffle_rank" if od.get("rank") else None,
-        ).drop("shuffle_key")
+        if od.get("interleave"):
+            # exact proportional stratified interleave: every stratum
+            # (source/lang/epoch) spreads evenly through the training
+            # order instead of trusting the hash shuffle's statistical
+            # spread — the right default when mixture ratios matter
+            shuffled = interleave_strata(
+                docs,
+                strata_col=od["interleave"],
+                id_col=id_col,
+                seed=int(od.get("seed", 0)),
+                n_partitions=(
+                    int(od["n_partitions"])
+                    if od.get("n_partitions")
+                    else None
+                ),
+                rank_col="interleave_rank" if od.get("rank") else None,
+            ).drop("interleave_key", "interleave_pos")
+        else:
+            shuffled = deterministic_shuffle(
+                docs,
+                id_col=id_col,
+                seed=int(od.get("seed", 0)),
+                n_partitions=(
+                    int(od["n_partitions"])
+                    if od.get("n_partitions")
+                    else None
+                ),
+                rank_col="shuffle_rank" if od.get("rank") else None,
+            ).drop("shuffle_key")
         shuffled.write.mode("overwrite").parquet(od["output_path"])
         docs = spark.read.parquet(od["output_path"])
         funnel["order"] = docs.count()

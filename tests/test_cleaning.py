@@ -904,3 +904,102 @@ def test_repeat_to_token_budget_edges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- interleave
+
+
+def _interleave_ref(rows, seed=42):
+    """Loop reference: md5-keyed within-stratum rank -> pos = r/(n+1),
+    global order by (pos, key, id)."""
+    import hashlib
+
+    key = {i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i, _ in rows}
+    by_s = {}
+    for i, s in rows:
+        by_s.setdefault(s, []).append(i)
+    pos = {}
+    for s, ids in by_s.items():
+        n = len(ids)
+        for r, i in enumerate(sorted(ids, key=lambda i: (key[i], i)), 1):
+            pos[i] = r / (n + 1)
+    order = sorted(
+        (i for i, _ in rows), key=lambda i: (pos[i], key[i], i)
+    )
+    return pos, {i: r for r, i in enumerate(order)}
+
+
+def test_interleave_strata_matches_loop_reference(spark):
+    rows = [(i, ["web", "wiki", "code"][i % 3] if i % 7 else "rare")
+            for i in range(60)]
+    exp_pos, exp_rank = _interleave_ref(rows)
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = C.interleave_strata(
+        df, "src", method="md5", n_partitions=5
+    ).collect()
+    assert len(got) == 60
+    for r in got:
+        assert r["interleave_pos"] == exp_pos[r["doc_id"]], r
+        assert r["interleave_rank"] == exp_rank[r["doc_id"]], r
+
+
+def test_interleave_strata_exact_proportional_spread(spark):
+    """Any prefix of the global order holds each stratum's proportional
+    share within ±(#strata) — including a 2-doc stratum at thirds of a
+    300-doc corpus (where a hash shuffle can clump)."""
+    rows = [(i, "big") for i in range(200)]
+    rows += [(200 + i, "mid") for i in range(98)]
+    rows += [(298, "tiny"), (299, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = (
+        C.interleave_strata(df, "src", n_partitions=7)
+        .orderBy("interleave_rank")
+        .collect()
+    )
+    n = {"big": 200, "mid": 98, "tiny": 2}
+    seen = {s: 0 for s in n}
+    for p, r in enumerate(got, 1):
+        seen[r["src"]] += 1
+        for s in n:
+            assert abs(seen[s] - p * n[s] / 300) <= 3, (p, s, seen)
+    # the tiny stratum splits the corpus in thirds (±a few positions)
+    tiny = sorted(r["interleave_rank"] for r in got if r["src"] == "tiny")
+    assert abs(tiny[0] - 100) <= 3 and abs(tiny[1] - 200) <= 3, tiny
+
+
+def test_interleave_strata_layout_invariant_and_seed_sensitive(spark):
+    rows = [(i, "ab"[i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    a = {
+        r["doc_id"]: (r["interleave_pos"], r["interleave_rank"])
+        for r in C.interleave_strata(df, "src", n_partitions=3).collect()
+    }
+    b = {
+        r["doc_id"]: (r["interleave_pos"], r["interleave_rank"])
+        for r in C.interleave_strata(
+            df.repartition(11), "src", n_partitions=6
+        ).collect()
+    }
+    assert a == b  # positions and ranks are layout/parallelism-invariant
+    c = {
+        r["doc_id"]: r["interleave_rank"]
+        for r in C.interleave_strata(
+            df, "src", seed=7, n_partitions=3
+        ).collect()
+    }
+    assert c != {k: v[1] for k, v in a.items()}  # new seed = new order
+
+
+def test_interleave_strata_null_guards_and_order_only(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, src string"
+    )
+    with pytest.raises(PySparkException):
+        C.interleave_strata(df, "src", n_partitions=2).collect()
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, src string")
+    ordered = C.interleave_strata(ok, "src", rank_col=None, n_partitions=2)
+    assert "interleave_rank" not in ordered.columns
+    assert {r["doc_id"] for r in ordered.collect()} == {1, 2}

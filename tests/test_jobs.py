@@ -418,3 +418,40 @@ def test_curate_corpus_gopher_stage(spark, tmp_path, monkeypatch, capsys):
     # rule-input columns are dropped unless keep_signals is set
     assert not [c for c in kept.columns if c.startswith("gq_")]
     assert "gopher_keep" not in kept.columns
+
+
+def test_curate_corpus_interleave_order(spark, tmp_path, monkeypatch, capsys):
+    """order.interleave spreads each stratum evenly through the written
+    training order (exact proportional interleave, not a hash clump)."""
+    rows = [(i, f"alpha beta gamma delta {i} " * 4, "big") for i in range(20)]
+    rows += [(100, "rare stratum doc one " * 5, "tiny"),
+             (101, "rare stratum doc two " * 5, "tiny")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, src string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated_il")
+    ordered = str(tmp_path / "ordered_il")
+    cfg = tmp_path / "curate_il.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_il_test",
+                f"input_path: {inp}",
+                'order: {"interleave": "src", "rank": True, "seed": 3,'
+                f' "n_partitions": 3, "output_path": "{ordered}"}}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel"] == {"input": 22, "order": 22, "output": 22}
+    kept = spark.read.parquet(out).toPandas()
+    assert "interleave_rank" in kept.columns
+    assert "interleave_pos" not in kept.columns  # working column dropped
+    # the 2-doc stratum lands at thirds of the 22-doc order
+    tiny = sorted(kept[kept.src == "tiny"].interleave_rank)
+    assert 5 <= tiny[0] <= 9 and 13 <= tiny[1] <= 17, tiny
