@@ -95,3 +95,143 @@ def approx_quantiles_by(
             col, F.array(*[F.lit(float(p)) for p in probs]), F.lit(int(accuracy))
         ).alias(out)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    keys: Sequence[str] = (),
+    capacity: int = 4096,
+    item_col: str = "item",
+    count_col: str = "n",
+) -> DataFrame:
+    """EXACT frequent items above ``threshold`` without shuffling the
+    full value domain — the corpus-scale "top domains / tokens /
+    fingerprints" question. Two passes:
+
+    1. Candidate pruning: one Misra-Gries summary (``capacity``
+       counters) per (task partition × key group) via mapInPandas —
+       batch value_counts feed the counters, so Python cost is per
+       DISTINCT-per-batch, not per row. MG guarantees any item a
+       partition undercounts is off by at most that partition's
+       decrement total d_p, so an item absent from EVERY summary has
+       true count <= D = Σ d_p. The summaries (≤ capacity ×
+       partitions rows) are the only thing shuffled.
+    2. Verify: semi-join the corpus to the broadcast candidate set and
+       count exactly — map-side combinable over candidate rows only.
+
+    If ``threshold`` <= D the candidate set can miss a qualifying item;
+    the operator RAISES then (raise ``capacity`` or ``threshold``) —
+    never a silently incomplete answer. Within that contract the
+    result is exact, deterministic and layout-invariant:
+    ``heavy_hitters(df, c, t)`` == ``df.groupBy(c).count().where(count
+    >= t)`` with the full-domain shuffle replaced by a bounded one
+    (pinned by tests). D is checked per key group when ``keys`` are
+    given. NULL items are ignored (they are not a value). ``col`` may
+    be any scalar type; counts are BIGINT.
+
+    100 TB shape: the corpus is read twice (pass 2 prunes to candidate
+    rows before its aggregate); state is O(capacity) per task; the
+    candidate broadcast is ≤ capacity × shuffle-partitions rows. For a
+    one-pass approximate variant keep the MG bounds instead of the
+    verify join — this operator deliberately ships the exact contract."""
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1: {threshold}")
+    keys = list(keys)
+    key_fields = ", ".join(
+        f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    item_type = df.schema[col].dataType.simpleString()
+    schema = (
+        (key_fields + ", " if key_fields else "")
+        + f"`{item_col}` {item_type}, __cnt long, __dec long"
+    )
+
+    def _mg_partition(batches):
+        # one MG state per key group seen in this task partition:
+        # {key_tuple: [counters(dict), decrements(int)]}
+        states: dict = {}
+        for pdf in batches:
+            groups = (
+                pdf.groupby(keys, sort=False, dropna=False)
+                if keys
+                else [((), pdf)]
+            )
+            for kv, grp in groups:
+                if keys and not isinstance(kv, tuple):
+                    kv = (kv,)
+                st = states.setdefault(kv, [{}, 0])
+                counters, _ = st
+                vc = grp[col].value_counts(dropna=True)
+                for v, c in vc.items():
+                    counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > capacity:
+                    # bulk decrement by the (capacity+1)-th largest
+                    # count: all counters shrink, <=0 drop — the
+                    # standard batched MG step
+                    m = sorted(counters.values(), reverse=True)[capacity]
+                    st[0] = {
+                        v: c - m for v, c in counters.items() if c > m
+                    }
+                    st[1] += m
+        rows = []
+        for kv, (counters, dec) in states.items():
+            for v, c in counters.items():
+                rows.append((*kv, v, c, 0))
+            rows.append((*kv, None, 0, dec))  # per-partition error row
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[*keys, item_col, "__cnt", "__dec"]
+            )
+
+    summary = df.select(*keys, col).mapInPandas(
+        _mg_partition, schema=schema
+    )
+    # summaries are sketch-sized but cost a corpus scan — pin so the
+    # error check and the candidate set read one materialization
+    summary = summary.localCheckpoint(eager=False)
+
+    errs = summary.groupBy(*keys).agg(F.sum("__dec").alias("__d"))
+    guarded = errs.withColumn(
+        "__d",
+        F.when(
+            F.col("__d") >= F.lit(int(threshold)),
+            F.raise_error(
+                F.concat(
+                    F.lit("heavy_hitters: MG error bound D="),
+                    F.col("__d").cast("string"),
+                    F.lit(
+                        f" >= threshold={threshold} — an item could be "
+                        "missed; raise capacity or threshold"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__d")),
+    )
+    cand_src = summary.where(F.col(item_col).isNotNull())
+    if keys:
+        cand_src = cand_src.join(F.broadcast(guarded), on=keys)
+    else:
+        cand_src = cand_src.crossJoin(F.broadcast(guarded))
+    # the WHERE keeps the guard column alive through optimization (a
+    # bare select would let Catalyst prune __d and the raise with it);
+    # it is trivially true whenever the guard does not fire
+    cands = (
+        cand_src.where(F.col("__d") >= 0)
+        .select(*keys, item_col)
+        .distinct()
+    )
+    # pass 2: exact counts over candidate rows only
+    joined = df.select(*keys, F.col(col).alias(item_col)).join(
+        F.broadcast(cands), on=[*keys, item_col]
+    )
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .where(F.col(count_col) >= threshold)
+    )

@@ -91,3 +91,92 @@ def test_approx_quantiles_bounded_rank_error(events_like):
         lo = bisect.bisect_left(vals, q) / n
         hi = bisect.bisect_right(vals, q) / n
         assert lo - 0.002 <= p <= hi + 0.002, (p, q, lo, hi)
+
+
+# ---------------------------------------------------------- heavy hitters
+
+
+@pytest.fixture(scope="module")
+def zipfish(spark):
+    """10k rows over ~1k distinct tokens with a heavy head: token =
+    id % (1 + id % 37) picks small values far more often."""
+    return spark.range(10_000).select(
+        (F.col("id") % 4).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(1) + F.pmod("id", F.lit(37)))
+        .cast("string")
+        .alias("tok"),
+    )
+
+
+def _exact(df, threshold, keys=()):
+    return {
+        tuple(r)
+        for r in df.groupBy(*keys, "tok")
+        .count()
+        .where(F.col("count") >= threshold)
+        .collect()
+    }
+
+
+def test_heavy_hitters_exact_parity_and_layout_invariance(zipfish):
+    exp = _exact(zipfish, 300)
+    for layout in (zipfish, zipfish.repartition(1), zipfish.repartition(13)):
+        got = {
+            tuple(r)
+            for r in SK.heavy_hitters(
+                layout, "tok", threshold=300, capacity=256
+            ).collect()
+        }
+        assert got == exp and got  # exact under every layout
+
+
+def test_heavy_hitters_per_key_groups(zipfish):
+    exp = _exact(zipfish, 120, keys=("src",))
+    got = {
+        tuple(r)
+        for r in SK.heavy_hitters(
+            zipfish, "tok", threshold=120, keys=["src"], capacity=256
+        ).collect()
+    }
+    assert got == exp and got
+
+
+def test_heavy_hitters_zero_error_when_capacity_covers_domain(spark):
+    df = spark.range(2_000).select(
+        F.pmod("id", F.lit(50)).cast("string").alias("tok")
+    )
+    got = {
+        tuple(r)
+        for r in SK.heavy_hitters(
+            df, "tok", threshold=1, capacity=64
+        ).collect()
+    }
+    # capacity >= distinct: D == 0, so even threshold=1 is exact
+    exp = {tuple(r) for r in df.groupBy("tok").count().collect()}
+    assert got == exp and len(got) == 50
+
+
+def test_heavy_hitters_guard_fires_when_threshold_within_error(spark):
+    from pyspark.errors import PySparkException
+
+    # 500 distinct items x 40 occurrences through 8 counters: every
+    # bulk decrement subtracts ~the per-batch item count, so D grows
+    # to tens — a threshold of 5 sits inside the error bound (a
+    # 40-count item could be entirely absent from the summaries) and
+    # MUST raise rather than silently under-report. (Singletons are
+    # NOT such a case: their decrements are 1 each, D stays tiny, and
+    # an empty answer is genuinely exact.)
+    df = spark.range(20_000).select(
+        F.pmod("id", F.lit(500)).cast("string").alias("tok")
+    )
+    with pytest.raises(PySparkException, match="heavy_hitters"):
+        SK.heavy_hitters(df, "tok", threshold=5, capacity=8).collect()
+
+
+def test_heavy_hitters_ignores_null_items(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), (None,), (None,), (None,)],
+        "tok string",
+    )
+    got = SK.heavy_hitters(df, "tok", threshold=2, capacity=16).collect()
+    assert [(r["item"], r["n"]) for r in got] == [("a", 3)]
