@@ -1388,7 +1388,13 @@ def q_doc_mixture_report(spark, sf_dir):
     mixture aggregate share one row set and ONE driver entry; the
     operator's TakeOrderedAndProject top-k path gets full oracle
     evidence through the share/uniform_ratio/rank hashes. Drives
-    mixture-weight decisions (what stratified_sample then enforces)."""
+    mixture-weight decisions (what stratified_sample then enforces) —
+    and (r6) carries them out in-row: cleaning.temperature_budgets at
+    T=2 over a 1M-token budget emits each stratum's mT5-style
+    temperature weight and integer budget (pow/renormalize recomputed
+    in SQL), the numbers sample_to_token_budget /
+    repeat_to_token_budget enforce."""
+    from feagen_spark.operators.cleaning import temperature_budgets
     from feagen_spark.operators.skew import key_skew_report
 
     docs = _docs(spark, sf_dir)  # repartition: token regex is CPU-heavy
@@ -1402,7 +1408,23 @@ def q_doc_mixture_report(spark, sf_dir):
         "lang", "source", "share", "uniform_ratio",
         F.col("rank").cast("int").alias("skew_rank"),
     )
-    return mix.join(skew, on=["lang", "source"])
+    tb = temperature_budgets(
+        out.withColumn("__ls", F.concat_ws("#", "lang", "source")),
+        "__ls",
+        "token_count",
+        total_budget=1_000_000,
+        temperature=2.0,
+    ).select(
+        "__ls",
+        (F.round("weight", 6) + 0.0).alias("temp_weight"),
+        F.col("budget").alias("temp_budget"),
+    )
+    return (
+        mix.join(skew, on=["lang", "source"])
+        .withColumn("__ls", F.concat_ws("#", "lang", "source"))
+        .join(tb, on="__ls")
+        .drop("__ls")
+    )
 
 
 def q_emb_near_dups(spark, sf_dir):
@@ -1984,6 +2006,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang, source
         )
+        , mixq AS (
+            -- temperature mixture (r6): w ∝ p^(1/T) at T=2 (windows
+            -- layered in CTEs — DuckDB cannot nest window calls)
+            SELECT *, pow(total_tokens
+                          / CAST(sum(total_tokens) OVER () AS DOUBLE), 0.5)
+                      AS rawq
+            FROM mix
+        )
         SELECT lang, source, n_docs, total_tokens, avg_chars,
                round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
                    AS share,
@@ -1991,8 +2021,11 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
                    AS uniform_ratio,
                CAST(row_number() OVER (
-                   ORDER BY n_docs DESC, lang, source) AS INT) AS skew_rank
-        FROM mix
+                   ORDER BY n_docs DESC, lang, source) AS INT) AS skew_rank,
+               round(rawq / sum(rawq) OVER (), 6) + 0.0 AS temp_weight,
+               CAST(round(1000000.0 * rawq / sum(rawq) OVER ())
+                    AS BIGINT) AS temp_budget
+        FROM mixq
     """
 
     sql["ev_stratified_sample"] = """

@@ -983,3 +983,63 @@ def interleave_strata(
     if rank_col is None:
         return ordered
     return _contiguous_rank(ordered, rank_col, "interleave_strata")
+
+
+def temperature_budgets(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    total_budget: int,
+    temperature: float = 1.0,
+    out_col: str = "budget",
+) -> DataFrame:
+    """Temperature-controlled mixture weights (the mT5/PaLM recipe,
+    public): per-stratum token budgets ``b_s = total_budget · w_s``
+    with ``w_s ∝ p_s^(1/temperature)``, p_s the stratum's observed
+    token share. temperature=1 keeps the natural mixture; higher
+    temperatures flatten toward uniform, boosting low-resource strata
+    (the mT5 α exponent is 1/temperature — α=0.3 ≡ T≈3.33). Returns
+    one row per stratum: the observed totals, the renormalized weight
+    and the integer budget — feed the budgets to
+    ``sample_to_token_budget`` (over-budget strata downsample) and
+    ``repeat_to_token_budget`` (under-budget strata run extra epochs)
+    to REBALANCE the corpus to the temperature mixture.
+
+    Scale shape: one map-combinable groupBy to stratum totals, then
+    windows over the sketch-sized stratum table — nothing else touches
+    the corpus. NULL strata are rejected loudly (they would silently
+    vanish from the downstream budget joins); empty strata (0 tokens)
+    get weight 0."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0: {total_budget}")
+    guarded = F.when(
+        F.col(strata_col).isNull(),
+        F.raise_error(
+            F.lit(f"temperature_budgets: NULL {strata_col}")
+        ).cast(df.schema[strata_col].dataType),
+    ).otherwise(F.col(strata_col))
+    totals = (
+        df.select(guarded.alias(strata_col), token_col)
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("double")).alias("total_tokens"))
+    )
+    w_all = Window.partitionBy()
+    p = F.col("total_tokens") / F.sum("total_tokens").over(w_all)
+    raw = F.when(
+        F.col("total_tokens") > 0, F.pow(p, F.lit(1.0 / temperature))
+    ).otherwise(F.lit(0.0))
+    out = totals.withColumn("__raw", raw).withColumn(
+        "weight", F.col("__raw") / F.sum("__raw").over(w_all)
+    )
+    return (
+        out.withColumn(
+            out_col,
+            F.round(F.col("weight") * F.lit(float(total_budget))).cast(
+                "long"
+            ),
+        )
+        .withColumn("total_tokens", F.col("total_tokens").cast("long"))
+        .drop("__raw")
+    )

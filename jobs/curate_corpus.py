@@ -14,6 +14,9 @@ existing operator; this wires them from config:
       -> DSIR target-likeness   (textstats.dsir_logweight ->
                                  cleaning.gumbel_topk, r6)
       -> per-language quota     (windowed.top_k_per_key by quality)
+      -> temperature mixture    (cleaning.temperature_budgets ->
+                                 downsample + epoch-upsample both
+                                 directions, r6)
       -> token budget mixture   (cleaning.sample_to_token_budget)
       -> token upsampling       (cleaning.repeat_to_token_budget ->
                                  composite "<id>#<epoch>" ids, r6)
@@ -66,6 +69,7 @@ def main() -> None:
         pack_sequences,
         repeat_to_token_budget,
         sample_to_token_budget,
+        temperature_budgets,
     )
     from feagen_spark.operators.textstats import (
         add_gopher_flags,
@@ -223,6 +227,50 @@ def main() -> None:
                 k=int(lq.get("k", 1000)),
             ),
             "lang_quota",
+        )
+
+    mx = cfg.get("mixture")
+    if mx:
+        # temperature-controlled mixture rebalancing (mT5/PaLM recipe):
+        # derive per-stratum token budgets w ∝ p^(1/T), then enforce
+        # them BOTH directions — over-budget strata downsample
+        # (sample_to_token_budget), under-budget strata run extra
+        # epochs (repeat_to_token_budget) — and fold the epoch index
+        # into the composite "<id>#<epoch>" id for order/pack.
+        if "token_count" not in docs.columns:
+            docs = add_token_count(docs, text_col=text_col)
+        strata = mx.get("strata_col", "lang_id")
+        if strata == "lang_id" and "lang_id" not in docs.columns:
+            docs = add_lang_id(docs, text_col=text_col)
+        tb_df = temperature_budgets(
+            docs,
+            strata_col=strata,
+            token_col="token_count",
+            total_budget=int(mx["total"]),
+            temperature=float(mx.get("temperature", 1.0)),
+        )
+        # one row per stratum — bounded by construction
+        budgets = {r[strata]: int(r["budget"]) for r in tb_df.collect()}
+        down = sample_to_token_budget(
+            docs,
+            strata_col=strata,
+            token_col="token_count",
+            budgets=budgets,
+            id_col=id_col,
+        )
+        up = repeat_to_token_budget(
+            down,
+            strata_col=strata,
+            token_col="token_count",
+            budgets=budgets,
+            id_col=id_col,
+            max_epochs=int(mx.get("max_epochs", 100)),
+        )
+        docs = checkpointed(
+            up.withColumn(
+                id_col, F.concat_ws("#", F.col(id_col), F.col("epoch"))
+            ).drop("epoch"),
+            "mixture",
         )
 
     tb = cfg.get("token_budget")

@@ -1003,3 +1003,54 @@ def test_interleave_strata_null_guards_and_order_only(spark):
     ordered = C.interleave_strata(ok, "src", rank_col=None, n_partitions=2)
     assert "interleave_rank" not in ordered.columns
     assert {r["doc_id"] for r in ordered.collect()} == {1, 2}
+
+
+# --------------------------------------------------- temperature mixture
+
+
+def test_temperature_budgets_closed_form(spark):
+    import math
+
+    toks = {"a": 8000, "b": 1500, "c": 500}
+    rows = [(f"{s}{i}", s, n // 10) for s, n in toks.items() for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, src string, tc long")
+    for temp in (1.0, 2.0, 5.0):
+        got = {
+            r["src"]: (r["total_tokens"], r["weight"], r["budget"])
+            for r in C.temperature_budgets(
+                df, "src", "tc", total_budget=100_000, temperature=temp
+            ).collect()
+        }
+        tot = sum(toks.values())
+        raw = {s: (n / tot) ** (1.0 / temp) for s, n in toks.items()}
+        z = sum(raw.values())
+        for s, n in toks.items():
+            w = raw[s] / z
+            assert got[s][0] == n
+            assert math.isclose(got[s][1], w, rel_tol=1e-12), (temp, s)
+            assert got[s][2] == round(w * 100_000), (temp, s)
+    # T=1 keeps the natural mixture exactly; higher T flattens
+    w1 = {r["src"]: r["weight"] for r in C.temperature_budgets(
+        df, "src", "tc", 100, temperature=1.0).collect()}
+    w5 = {r["src"]: r["weight"] for r in C.temperature_budgets(
+        df, "src", "tc", 100, temperature=5.0).collect()}
+    assert math.isclose(w1["a"], 0.8, rel_tol=1e-12)
+    assert w5["a"] < w1["a"] and w5["c"] > w1["c"]
+
+
+def test_temperature_budgets_edges(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("x1", "x", 100), ("y1", "y", 0)], "doc_id string, src string, tc long"
+    )
+    got = {r["src"]: r for r in C.temperature_budgets(
+        df, "src", "tc", 1000, temperature=2.0).collect()}
+    assert got["y"]["weight"] == 0.0 and got["y"]["budget"] == 0
+    assert got["x"]["budget"] == 1000
+    with pytest.raises(ValueError, match="temperature"):
+        C.temperature_budgets(df, "src", "tc", 1000, temperature=0.0)
+    bad = spark.createDataFrame([("z1", None, 5)], "doc_id string, src string, tc long")
+    with pytest.raises(PySparkException):
+        C.temperature_budgets(bad, "src", "tc", 10).collect()

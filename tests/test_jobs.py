@@ -455,3 +455,51 @@ def test_curate_corpus_interleave_order(spark, tmp_path, monkeypatch, capsys):
     # the 2-doc stratum lands at thirds of the 22-doc order
     tiny = sorted(kept[kept.src == "tiny"].interleave_rank)
     assert 5 <= tiny[0] <= 9 and 13 <= tiny[1] <= 17, tiny
+
+
+def test_curate_corpus_mixture_stage(spark, tmp_path, monkeypatch, capsys):
+    """The mixture: stage rebalances BOTH directions from one
+    temperature: the over-budget stratum downsamples, the under-budget
+    one duplicates into epoch copies, and every surviving row carries
+    a composite id."""
+    rows = [(f"b{i}", "big beta gamma delta epsilon " * 8, "big")
+            for i in range(50)]
+    rows += [(f"s{i}", "small beta gamma delta epsilon " * 8, "small")
+             for i in range(5)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id string, text string, src string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated_mx")
+    cfg = tmp_path / "curate_mx.yml"
+    # 55 docs x 40 tokens: big 2000 toks, small 200. T=inf-ish (100)
+    # -> ~uniform weights -> big downsamples to ~1100, small upsamples
+    # ~5.5x (max_epochs must allow 6)
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_mx_test",
+                f"input_path: {inp}",
+                'mixture: {"strata_col": "src", "total": 2200,'
+                ' "temperature": 100, "max_epochs": 8}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = summary["funnel"]
+    assert f["input"] == 55
+    kept = spark.read.parquet(out).toPandas()
+    assert len(kept) == f["mixture"]
+    base = kept.doc_id.str.split("#").str[0]
+    n_big = (base.str.startswith("b")).sum()
+    n_small = (base.str.startswith("s")).sum()
+    # ~1100/2000 of big kept; ~1100/200 = 5.5 epochs of small
+    assert 18 <= n_big <= 38, n_big
+    assert 23 <= n_small <= 32, n_small
+    # every id is composite and epoch indices are contiguous from 0
+    eps = kept.doc_id.str.split("#").str[1].astype(int)
+    assert eps.min() == 0 and eps.max() >= 4
