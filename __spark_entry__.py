@@ -1408,10 +1408,15 @@ def q_doc_mixture_report(spark, sf_dir):
         "lang", "source", "share", "uniform_ratio",
         F.col("rank").cast("int").alias("skew_rank"),
     )
+    # feed the ALREADY-aggregated per-stratum totals (one row per
+    # stratum) — running the operator over the per-doc frame would
+    # re-scan and re-tokenize the corpus for an identical result
+    # (code-review r6). \x1f separator: lang/source cannot collide
+    # through a control character the way 'a#b'+'c' vs 'a'+'b#c' can.
     tb = temperature_budgets(
-        out.withColumn("__ls", F.concat_ws("#", "lang", "source")),
+        mix.withColumn("__ls", F.concat_ws("\x1f", "lang", "source")),
         "__ls",
-        "token_count",
+        "total_tokens",
         total_budget=1_000_000,
         temperature=2.0,
     ).select(
@@ -1421,7 +1426,7 @@ def q_doc_mixture_report(spark, sf_dir):
     )
     return (
         mix.join(skew, on=["lang", "source"])
-        .withColumn("__ls", F.concat_ws("#", "lang", "source"))
+        .withColumn("__ls", F.concat_ws("\x1f", "lang", "source"))
         .join(tb, on="__ls")
         .drop("__ls")
     )

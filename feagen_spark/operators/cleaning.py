@@ -291,6 +291,14 @@ def repeat_to_token_budget(
     config typo, and each epoch is a full copy of the stratum on
     disk).
 
+    Composition hazard (code-review r6): when chaining AFTER
+    ``sample_to_token_budget``, give this operator an INDEPENDENT draw
+    (e.g. ``method='xxhash64'`` with its own seed) — both default to
+    the seed-ignoring md5 bridge, and the downsampler's survivors
+    (``h < f``) are exactly the ids the extra-copy rule (``h < frac``)
+    picks first, inflating the extra-copy rate from ``frac`` to
+    ``frac/f``.
+
     Scale shape (mirrors the downsampler): one map-combinable groupBy
     for per-stratum totals (sketch-sized), a BROADCAST join of the
     repeat factors, then a pure-JVM ``explode(sequence(0, n_copies-1))``
@@ -955,6 +963,28 @@ def interleave_strata(
         ),
         "interleave_strata",
     )
+    # the per-(pid, stratum) guard above cannot catch a >=2^33-row
+    # partition SPLIT ACROSS strata (no single group reaches the exact
+    # 2^33 count) — guard the per-pid TOTAL too (code-review r6); the
+    # where() keeps the guard column alive through optimization
+    w_pid = Window.partitionBy("__pid")
+    side = (
+        side.withColumn("__ptot", F.sum("__n").over(w_pid))
+        .withColumn(
+            "__ptot",
+            F.when(
+                F.col("__ptot") >= F.lit(2**33),
+                F.raise_error(
+                    F.lit(
+                        "interleave_strata: a range partition holds >= "
+                        "2^33 rows — raise n_partitions"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__ptot")),
+        )
+        .where(F.col("__ptot") >= 0)
+        .drop("__ptot")
+    )
     w_off = (
         Window.partitionBy(strata_col)
         .orderBy("__pid")
@@ -1030,8 +1060,14 @@ def temperature_budgets(
     raw = F.when(
         F.col("total_tokens") > 0, F.pow(p, F.lit(1.0 / temperature))
     ).otherwise(F.lit(0.0))
+    # all-zero corpora: 0/0 would be NaN and the budget cast would
+    # throw an opaque ANSI error — weight 0 everywhere instead
     out = totals.withColumn("__raw", raw).withColumn(
-        "weight", F.col("__raw") / F.sum("__raw").over(w_all)
+        "weight",
+        F.when(
+            F.sum("__raw").over(w_all) > 0,
+            F.col("__raw") / F.sum("__raw").over(w_all),
+        ).otherwise(F.lit(0.0)),
     )
     return (
         out.withColumn(

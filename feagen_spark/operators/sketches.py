@@ -128,8 +128,11 @@ def heavy_hitters(
     ``heavy_hitters(df, c, t)`` == ``df.groupBy(c).count().where(count
     >= t)`` with the full-domain shuffle replaced by a bounded one
     (pinned by tests). D is checked per key group when ``keys`` are
-    given. NULL items are ignored (they are not a value). ``col`` may
-    be any scalar type; counts are BIGINT.
+    given. NULL items are ignored (they are not a value); NULL KEY
+    values are rejected loudly (code-review r6: the candidate and
+    verify joins are null-unsafe, so a NULL-key group would silently
+    vanish from the result instead of erroring). ``col`` may be any
+    scalar type; counts are BIGINT.
 
     100 TB shape: the corpus is read twice (pass 2 prunes to candidate
     rows before its aggregate); state is O(capacity) per task; the
@@ -143,6 +146,24 @@ def heavy_hitters(
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1: {threshold}")
     keys = list(keys)
+    if keys:
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        df = df.withColumn(
+            keys[0],
+            F.when(
+                null_any,
+                F.raise_error(
+                    F.lit(
+                        f"heavy_hitters: NULL key in {keys} — the "
+                        "candidate/verify joins are null-unsafe and "
+                        "would silently drop the group"
+                    )
+                ).cast(df.schema[keys[0]].dataType),
+            ).otherwise(F.col(keys[0])),
+        )
     key_fields = ", ".join(
         f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
     )

@@ -258,12 +258,20 @@ def main() -> None:
             budgets=budgets,
             id_col=id_col,
         )
+        # the upsample draw must be INDEPENDENT of the downsample draw
+        # (code-review r6): both default to the seed-ignoring md5
+        # bridge, and survivors of "keep h < f" are exactly the ids the
+        # extra-copy rule "h < frac" would pick — a downsampled stratum
+        # would overshoot its budget by ~frac/f. xxhash64 with its own
+        # seed decorrelates the two rules.
         up = repeat_to_token_budget(
             down,
             strata_col=strata,
             token_col="token_count",
             budgets=budgets,
             id_col=id_col,
+            method="xxhash64",
+            seed=int(mx.get("upsample_seed", 1)),
             max_epochs=int(mx.get("max_epochs", 100)),
         )
         docs = checkpointed(

@@ -1054,3 +1054,39 @@ def test_temperature_budgets_edges(spark):
     bad = spark.createDataFrame([("z1", None, 5)], "doc_id string, src string, tc long")
     with pytest.raises(PySparkException):
         C.temperature_budgets(bad, "src", "tc", 10).collect()
+
+
+def test_temperature_budgets_all_zero_corpus(spark):
+    df = spark.createDataFrame(
+        [("a1", "a", 0), ("b1", "b", 0)], "doc_id string, src string, tc long"
+    )
+    got = {r["src"]: r for r in C.temperature_budgets(
+        df, "src", "tc", 1000, temperature=2.0).collect()}
+    assert all(r["weight"] == 0.0 and r["budget"] == 0 for r in got.values())
+
+
+def test_down_then_upsample_needs_independent_draws(spark):
+    """Composition contract (code-review r6): chaining the downsampler
+    and the epoch-upsampler on the SAME md5 draw makes the extra-copy
+    rule pick exactly the downsample survivors (rate frac/f, not
+    frac); an independent xxhash64 draw restores the expectation."""
+    df = spark.createDataFrame(
+        [(f"d{i}", "s", 1) for i in range(4000)],
+        "doc_id string, src string, tc long",
+    )
+    down = C.sample_to_token_budget(
+        df, "src", "tc", budgets={"s": 400}, id_col="doc_id"
+    )
+    kept = down.count()
+    assert abs(kept - 400) < 80
+    up_budget = {"s": int(kept * 1.3)}
+    good = C.repeat_to_token_budget(
+        down, "src", "tc", up_budget, id_col="doc_id",
+        method="xxhash64", seed=1,
+    ).count()
+    bad = C.repeat_to_token_budget(
+        down, "src", "tc", up_budget, id_col="doc_id",  # same md5 draw
+    ).count()
+    assert abs(good - 1.3 * kept) < 0.12 * kept, (good, kept)
+    # the correlated draw doubles every survivor (frac/f ≈ 3 -> capped)
+    assert bad > 1.8 * kept, (bad, kept)

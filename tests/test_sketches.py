@@ -180,3 +180,15 @@ def test_heavy_hitters_ignores_null_items(spark):
     )
     got = SK.heavy_hitters(df, "tok", threshold=2, capacity=16).collect()
     assert [(r["item"], r["n"]) for r in got] == [("a", 3)]
+
+
+def test_heavy_hitters_null_key_rejected(spark):
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "x"), ("a", "y")], "src string, tok string"
+    )
+    with pytest.raises(PySparkException, match="NULL key"):
+        SK.heavy_hitters(
+            df, "tok", threshold=1, keys=["src"], capacity=8
+        ).collect()
