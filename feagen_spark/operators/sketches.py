@@ -97,54 +97,36 @@ def approx_quantiles_by(
     )
 
 
-def heavy_hitters(
+def hh_summary(
     df: DataFrame,
     col: str,
-    threshold: int,
     keys: Sequence[str] = (),
     capacity: int = 4096,
     item_col: str = "item",
-    count_col: str = "n",
 ) -> DataFrame:
-    """EXACT frequent items above ``threshold`` without shuffling the
-    full value domain — the corpus-scale "top domains / tokens /
-    fingerprints" question. Two passes:
+    """Misra-Gries heavy-hitter SUMMARY — the mergeable/incremental
+    half of ``heavy_hitters``, following the module's sketch-table
+    pattern: run per ingest batch (or per day) and APPEND the output
+    (≤ capacity × partitions + partitions rows per run); answer "items
+    over threshold" later by merging any set of summaries with
+    ``heavy_hitters_from_summaries`` — the already-ingested corpus is
+    never re-scanned for the summary side.
 
-    1. Candidate pruning: one Misra-Gries summary (``capacity``
-       counters) per (task partition × key group) via mapInPandas —
-       batch value_counts feed the counters, so Python cost is per
-       DISTINCT-per-batch, not per row. MG guarantees any item a
-       partition undercounts is off by at most that partition's
-       decrement total d_p, so an item absent from EVERY summary has
-       true count <= D = Σ d_p. The summaries (≤ capacity ×
-       partitions rows) are the only thing shuffled.
-    2. Verify: semi-join the corpus to the broadcast candidate set and
-       count exactly — map-side combinable over candidate rows only.
-
-    If ``threshold`` <= D the candidate set can miss a qualifying item;
-    the operator RAISES then (raise ``capacity`` or ``threshold``) —
-    never a silently incomplete answer. Within that contract the
-    result is exact, deterministic and layout-invariant:
-    ``heavy_hitters(df, c, t)`` == ``df.groupBy(c).count().where(count
-    >= t)`` with the full-domain shuffle replaced by a bounded one
-    (pinned by tests). D is checked per key group when ``keys`` are
-    given. NULL items are ignored (they are not a value); NULL KEY
-    values are rejected loudly (code-review r6: the candidate and
-    verify joins are null-unsafe, so a NULL-key group would silently
-    vanish from the result instead of erroring). ``col`` may be any
-    scalar type; counts are BIGINT.
-
-    100 TB shape: the corpus is read twice (pass 2 prunes to candidate
-    rows before its aggregate); state is O(capacity) per task; the
-    candidate broadcast is ≤ capacity × shuffle-partitions rows. For a
-    one-pass approximate variant keep the MG bounds instead of the
-    verify join — this operator deliberately ships the exact contract."""
+    One MG state (``capacity`` counters) per task partition × key
+    group via mapInPandas; batch value_counts feed the counters, so
+    Python cost is per DISTINCT-per-batch, not per row. Output rows:
+    item rows carry ``mg_count`` (a lower bound whose total deficit is
+    bounded), and one item-NULL row per (partition, group) carries
+    ``mg_dec``, that partition's decrement total. MG invariant: an
+    item absent from every summary has true count <= D = Σ mg_dec over
+    the merged set. Summaries merge by plain UNION — order, layout and
+    batch boundaries only change D, never break the bound. NULL items
+    are not counted; NULL key values are rejected loudly (code-review
+    r6: the downstream joins are null-unsafe)."""
     import pandas as pd
 
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1: {capacity}")
-    if threshold < 1:
-        raise ValueError(f"threshold must be >= 1: {threshold}")
     keys = list(keys)
     if keys:
         null_any = None
@@ -157,7 +139,7 @@ def heavy_hitters(
                 null_any,
                 F.raise_error(
                     F.lit(
-                        f"heavy_hitters: NULL key in {keys} — the "
+                        f"hh_summary: NULL key in {keys} — the "
                         "candidate/verify joins are null-unsafe and "
                         "would silently drop the group"
                     )
@@ -170,7 +152,7 @@ def heavy_hitters(
     item_type = df.schema[col].dataType.simpleString()
     schema = (
         (key_fields + ", " if key_fields else "")
-        + f"`{item_col}` {item_type}, __cnt long, __dec long"
+        + f"`{item_col}` {item_type}, mg_count long, mg_dec long"
     )
 
     def _mg_partition(batches):
@@ -207,24 +189,30 @@ def heavy_hitters(
             rows.append((*kv, None, 0, dec))  # per-partition error row
         if rows:
             yield pd.DataFrame(
-                rows, columns=[*keys, item_col, "__cnt", "__dec"]
+                rows, columns=[*keys, item_col, "mg_count", "mg_dec"]
             )
 
-    summary = df.select(*keys, col).mapInPandas(
-        _mg_partition, schema=schema
-    )
-    # summaries are sketch-sized but cost a corpus scan — pin so the
-    # error check and the candidate set read one materialization
-    summary = summary.localCheckpoint(eager=False)
+    return df.select(*keys, col).mapInPandas(_mg_partition, schema=schema)
 
-    errs = summary.groupBy(*keys).agg(F.sum("__dec").alias("__d"))
+
+def _hh_candidates(
+    summary: DataFrame,
+    threshold: int,
+    keys: list,
+    item_col: str,
+    op_name: str,
+) -> DataFrame:
+    """Candidate set from (merged) MG summaries, with the loud error
+    bound: per key group, D = Σ mg_dec must stay below ``threshold``
+    or a qualifying item could be missing — raise, never under-report."""
+    errs = summary.groupBy(*keys).agg(F.sum("mg_dec").alias("__d"))
     guarded = errs.withColumn(
         "__d",
         F.when(
             F.col("__d") >= F.lit(int(threshold)),
             F.raise_error(
                 F.concat(
-                    F.lit("heavy_hitters: MG error bound D="),
+                    F.lit(f"{op_name}: MG error bound D="),
                     F.col("__d").cast("string"),
                     F.lit(
                         f" >= threshold={threshold} — an item could be "
@@ -242,12 +230,96 @@ def heavy_hitters(
     # the WHERE keeps the guard column alive through optimization (a
     # bare select would let Catalyst prune __d and the raise with it);
     # it is trivially true whenever the guard does not fire
-    cands = (
+    return (
         cand_src.where(F.col("__d") >= 0)
         .select(*keys, item_col)
         .distinct()
     )
-    # pass 2: exact counts over candidate rows only
+
+
+def heavy_hitters_from_summaries(
+    summaries: DataFrame,
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    keys: Sequence[str] = (),
+    item_col: str = "item",
+    count_col: str = "n",
+) -> DataFrame:
+    """The incremental query path: merge APPENDED ``hh_summary``
+    outputs (any union of batches — the summary table) into the exact
+    frequent-item answer over ``df`` (the stored corpus those batches
+    ingested). The summary side never re-scans history; the verify
+    pass reads the corpus once, pruned to candidate rows before its
+    aggregate. Same exactness contract and loud D-bound guard as
+    ``heavy_hitters``."""
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1: {threshold}")
+    keys = list(keys)
+    cands = _hh_candidates(
+        summaries, threshold, keys, item_col, "heavy_hitters_from_summaries"
+    )
+    joined = df.select(*keys, F.col(col).alias(item_col)).join(
+        F.broadcast(cands), on=[*keys, item_col]
+    )
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .where(F.col(count_col) >= threshold)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    keys: Sequence[str] = (),
+    capacity: int = 4096,
+    item_col: str = "item",
+    count_col: str = "n",
+) -> DataFrame:
+    """EXACT frequent items above ``threshold`` without shuffling the
+    full value domain — the corpus-scale "top domains / tokens /
+    fingerprints" question. Two passes:
+
+    1. Candidate pruning: ``hh_summary`` — one Misra-Gries summary
+       (``capacity`` counters) per (task partition × key group) via
+       mapInPandas. MG guarantees any item a partition undercounts is
+       off by at most that partition's decrement total, so an item
+       absent from EVERY summary has true count <= D = Σ mg_dec. The
+       summaries (≤ capacity × partitions rows) are the only thing
+       shuffled.
+    2. Verify: semi-join the corpus to the broadcast candidate set and
+       count exactly — map-side combinable over candidate rows only.
+
+    If ``threshold`` <= D the candidate set can miss a qualifying item;
+    the operator RAISES then (raise ``capacity`` or ``threshold``) —
+    never a silently incomplete answer. Within that contract the
+    result is exact, deterministic and layout-invariant:
+    ``heavy_hitters(df, c, t)`` == ``df.groupBy(c).count().where(count
+    >= t)`` with the full-domain shuffle replaced by a bounded one
+    (pinned by tests). D is checked per key group when ``keys`` are
+    given. NULL items are ignored (they are not a value); NULL KEY
+    values are rejected loudly (code-review r6: the candidate and
+    verify joins are null-unsafe, so a NULL-key group would silently
+    vanish from the result instead of erroring). ``col`` may be any
+    scalar type; counts are BIGINT.
+
+    100 TB shape: the corpus is read twice (pass 2 prunes to candidate
+    rows before its aggregate); state is O(capacity) per task; the
+    candidate broadcast is ≤ capacity × shuffle-partitions rows. For
+    an incremental corpus, persist ``hh_summary`` per ingest batch and
+    query with ``heavy_hitters_from_summaries`` instead — history is
+    never re-summarized."""
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1: {threshold}")
+    keys = list(keys)
+    # summaries are sketch-sized but cost a corpus scan — pin so the
+    # error check and the candidate set read one materialization
+    summary = hh_summary(
+        df, col, keys=keys, capacity=capacity, item_col=item_col
+    ).localCheckpoint(eager=False)
+    cands = _hh_candidates(summary, threshold, keys, item_col, "heavy_hitters")
     joined = df.select(*keys, F.col(col).alias(item_col)).join(
         F.broadcast(cands), on=[*keys, item_col]
     )

@@ -192,3 +192,45 @@ def test_heavy_hitters_null_key_rejected(spark):
         SK.heavy_hitters(
             df, "tok", threshold=1, keys=["src"], capacity=8
         ).collect()
+
+
+def test_hh_summaries_merge_across_batches(spark):
+    """The incremental path: per-batch hh_summary outputs UNIONed (the
+    appended summary table) answer exactly like the one-shot operator
+    over the whole corpus — history is never re-summarized."""
+    base = spark.range(12_000).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(1) + F.pmod("id", F.lit(37)))
+        .cast("string")
+        .alias("tok"),
+    )
+    batches = [
+        base.where((F.col("rid") >= lo) & (F.col("rid") < lo + 4000))
+        for lo in (0, 4000, 8000)
+    ]
+    summaries = None
+    for b in batches:
+        s = SK.hh_summary(b, "tok", capacity=256)
+        summaries = s if summaries is None else summaries.unionByName(s)
+    got = {
+        tuple(r)
+        for r in SK.heavy_hitters_from_summaries(
+            summaries, base, "tok", threshold=300
+        ).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in base.groupBy("tok")
+        .count()
+        .where(F.col("count") >= 300)
+        .collect()
+    }
+    assert got == exp and got
+    # and identical to the one-shot operator
+    one = {
+        tuple(r)
+        for r in SK.heavy_hitters(
+            base, "tok", threshold=300, capacity=256
+        ).collect()
+    }
+    assert got == one
