@@ -1090,3 +1090,49 @@ def test_down_then_upsample_needs_independent_draws(spark):
     assert abs(good - 1.3 * kept) < 0.12 * kept, (good, kept)
     # the correlated draw doubles every survivor (frac/f ≈ 3 -> capped)
     assert bad > 1.8 * kept, (bad, kept)
+
+
+if _HYP_SHUF:
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        rows=st.dictionaries(
+            st.integers(-(2**40), 2**40),
+            st.sampled_from(["a", "b", "c", "dominant"]),
+            min_size=2,
+            max_size=90,
+        ),
+        seed=st.integers(0, 2**20),
+        n_parts=st.integers(1, 7),
+    )
+    def test_interleave_strata_property(spark, rows, seed, n_parts):
+        """For ANY (id -> stratum) map, seed and partition count:
+        positions are exactly r/(n_s+1) of the driver-side per-stratum
+        (md5(seed:id), id) sort and ranks are the positions of the
+        global (pos, key, id) sort — the mono-id/side-table machinery
+        never disagrees with the sequential definition."""
+        import hashlib
+
+        key = {
+            i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in rows
+        }
+        by_s: dict = {}
+        for i, s in rows.items():
+            by_s.setdefault(s, []).append(i)
+        pos = {}
+        for s, ids in by_s.items():
+            for r, i in enumerate(sorted(ids, key=lambda i: (key[i], i)), 1):
+                pos[i] = r / (len(ids) + 1)
+        order = sorted(rows, key=lambda i: (pos[i], key[i], i))
+        exp_rank = {i: r for r, i in enumerate(order)}
+
+        df = spark.createDataFrame(
+            list(rows.items()), "doc_id long, src string"
+        )
+        got = C.interleave_strata(
+            df, "src", seed=seed, method="md5", n_partitions=n_parts
+        ).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            assert r["interleave_pos"] == pos[r["doc_id"]], r
+            assert r["interleave_rank"] == exp_rank[r["doc_id"]], r
