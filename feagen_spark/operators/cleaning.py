@@ -889,6 +889,7 @@ def interleave_strata(
     pos_col: str = "interleave_pos",
     rank_col: str | None = "interleave_rank",
     key_col: str = "interleave_key",
+    order_col: str | None = None,
 ) -> DataFrame:
     """EXACT proportional stratified interleave — the training-order
     step after mixture weighting: spread every stratum (source,
@@ -899,7 +900,13 @@ def interleave_strata(
     ±1 — even a 2-doc stratum splits the corpus in thirds, where a
     hash shuffle can clump both copies anywhere. Within a stratum the
     order is the module's standard content-hash rule (hash(seed, id)):
-    rerun/layout/retry bit-stable, a new seed = a new epoch order.
+    rerun/layout/retry bit-stable, a new seed = a new epoch order — or,
+    with ``order_col``, the ascending (order_col, id) sort: CURRICULUM
+    interleaving (sort each stratum easy→hard by a score and the
+    global order walks every stratum's curriculum in proportional
+    lockstep). NULL order_col values are rejected loudly (they would
+    sort arbitrarily ahead of every score). The hash key still breaks
+    cross-stratum pos ties either way.
 
     Emits ``pos_col`` (the global sort key, double in (0,1)) and, with
     ``rank_col``, the contiguous 0-based global rank; ``rank_col=None``
@@ -942,15 +949,35 @@ def interleave_strata(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     keyed = df.withColumn(key_col, key)
+    if order_col is not None:
+        keyed = keyed.withColumn(
+            order_col,
+            F.when(
+                F.col(order_col).isNull(),
+                F.raise_error(
+                    F.lit(f"interleave_strata: NULL {order_col}")
+                ).cast(df.schema[order_col].dataType),
+            ).otherwise(F.col(order_col)),
+        )
     strata = F.col(strata_col)
+    # within-stratum sort: content hash (epoch shuffle) or the
+    # curriculum score column
+    in_stratum = (
+        [F.col(order_col), cid] if order_col is not None
+        else [F.col(key_col), cid]
+    )
+    in_stratum_names = (
+        [order_col, id_col] if order_col is not None
+        else [key_col, id_col]
+    )
 
-    # pass 1: within-stratum rank. Range partitioning on (strata, key)
-    # keeps each stratum contiguous across partitions; the side table
-    # is one row per (partition, stratum) pair it holds.
+    # pass 1: within-stratum rank. Range partitioning on (strata, sort
+    # keys) keeps each stratum contiguous across partitions; the side
+    # table is one row per (partition, stratum) pair it holds.
     numbered = _numbered(
         keyed.repartitionByRange(
-            n_partitions, strata, F.col(key_col), cid
-        ).sortWithinPartitions(strata_col, key_col, id_col)
+            n_partitions, strata, *in_stratum
+        ).sortWithinPartitions(strata_col, *in_stratum_names)
     )
     side = _guard_33bit(
         numbered.groupBy("__pid", strata_col).agg(

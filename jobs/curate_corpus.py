@@ -343,6 +343,9 @@ def main() -> None:
                     else None
                 ),
                 rank_col="interleave_rank" if od.get("rank") else None,
+                # curriculum mode: order_by names a score column — each
+                # stratum walks easy->hard while staying interleaved
+                order_col=od.get("order_by"),
             ).drop("interleave_key", "interleave_pos")
         else:
             shuffled = deterministic_shuffle(

@@ -1136,3 +1136,43 @@ if _HYP_SHUF:
         for r in got:
             assert r["interleave_pos"] == pos[r["doc_id"]], r
             assert r["interleave_rank"] == exp_rank[r["doc_id"]], r
+
+
+def test_interleave_strata_curriculum_order(spark):
+    """order_col mode: each stratum walks its own easy->hard score
+    order while the proportional spread is unchanged."""
+    rows = [(i, "ab"[i % 2], float((7 * i) % 40)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    got = (
+        C.interleave_strata(df, "src", order_col="score", n_partitions=3)
+        .orderBy("interleave_rank")
+        .collect()
+    )
+    # within each stratum, ranks respect ascending score
+    for s in ("a", "b"):
+        scores = [r["score"] for r in got if r["src"] == s]
+        assert scores == sorted(scores), (s, scores)
+    # proportional spread: strata alternate through any prefix
+    seen = {"a": 0, "b": 0}
+    for p, r in enumerate(got, 1):
+        seen[r["src"]] += 1
+        assert abs(seen["a"] - seen["b"]) <= 2, (p, seen)
+    # layout invariance holds in curriculum mode too
+    again = {
+        r["doc_id"]: r["interleave_rank"]
+        for r in C.interleave_strata(
+            df.repartition(7), "src", order_col="score", n_partitions=5
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["interleave_rank"] for r in got}
+    # NULL score is rejected loudly
+    import pytest
+    from pyspark.errors import PySparkException
+
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "doc_id long, src string, score double"
+    )
+    with pytest.raises(PySparkException, match="NULL score"):
+        C.interleave_strata(
+            bad, "src", order_col="score", n_partitions=2
+        ).collect()
