@@ -961,15 +961,10 @@ def interleave_strata(
         )
     strata = F.col(strata_col)
     # within-stratum sort: content hash (epoch shuffle) or the
-    # curriculum score column
-    in_stratum = (
-        [F.col(order_col), cid] if order_col is not None
-        else [F.col(key_col), cid]
-    )
-    in_stratum_names = (
-        [order_col, id_col] if order_col is not None
-        else [key_col, id_col]
-    )
+    # curriculum score column — ONE name list derives both forms so
+    # the range-partition keys and the sort keys can never diverge
+    in_stratum_names = [order_col or key_col, id_col]
+    in_stratum = [F.col(c) for c in in_stratum_names]
 
     # pass 1: within-stratum rank. Range partitioning on (strata, sort
     # keys) keeps each stratum contiguous across partitions; the side

@@ -97,6 +97,52 @@ def approx_quantiles_by(
     )
 
 
+def _guard_null_keys(df: DataFrame, keys: list, op_name: str) -> DataFrame:
+    """NULL key values are rejected loudly (code-review r6): every
+    downstream candidate/verify join is null-unsafe, so a NULL-key
+    group would silently vanish from the result instead of erroring."""
+    if not keys:
+        return df
+    null_any = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_any = c if null_any is None else (null_any | c)
+    return df.withColumn(
+        keys[0],
+        F.when(
+            null_any,
+            F.raise_error(
+                F.lit(
+                    f"{op_name}: NULL key in {keys} — the "
+                    "candidate/verify joins are null-unsafe and "
+                    "would silently drop the group"
+                )
+            ).cast(df.schema[keys[0]].dataType),
+        ).otherwise(F.col(keys[0])),
+    )
+
+
+def _hh_verify(
+    df: DataFrame,
+    cands: DataFrame,
+    col: str,
+    threshold: int,
+    keys: list,
+    item_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Pass 2, shared by both query paths: exact counts over corpus
+    rows semi-joined to the broadcast candidate set."""
+    joined = df.select(*keys, F.col(col).alias(item_col)).join(
+        F.broadcast(cands), on=[*keys, item_col]
+    )
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .where(F.col(count_col) >= threshold)
+    )
+
+
 def hh_summary(
     df: DataFrame,
     col: str,
@@ -128,24 +174,7 @@ def hh_summary(
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1: {capacity}")
     keys = list(keys)
-    if keys:
-        null_any = None
-        for k in keys:
-            c = F.col(k).isNull()
-            null_any = c if null_any is None else (null_any | c)
-        df = df.withColumn(
-            keys[0],
-            F.when(
-                null_any,
-                F.raise_error(
-                    F.lit(
-                        f"hh_summary: NULL key in {keys} — the "
-                        "candidate/verify joins are null-unsafe and "
-                        "would silently drop the group"
-                    )
-                ).cast(df.schema[keys[0]].dataType),
-            ).otherwise(F.col(keys[0])),
-        )
+    df = _guard_null_keys(df, keys, "hh_summary")
     key_fields = ", ".join(
         f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
     )
@@ -201,14 +230,37 @@ def _hh_candidates(
     keys: list,
     item_col: str,
     op_name: str,
+    coverage_from: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate set from (merged) MG summaries, with the loud error
     bound: per key group, D = Σ mg_dec must stay below ``threshold``
-    or a qualifying item could be missing — raise, never under-report."""
+    or a qualifying item could be missing — raise, never under-report.
+    ``coverage_from`` (the corpus, incremental path only): every key
+    group present in the corpus must have summary rows — a group with
+    no error row means its batches were never summarized (or the
+    summary table is empty/wrong), which would otherwise yield a
+    silently empty answer for that group (code-review r6)."""
     errs = summary.groupBy(*keys).agg(F.sum("mg_dec").alias("__d"))
+    if coverage_from is not None and keys:
+        # corpus groups LEFT-join the summary groups: a group with no
+        # summary rows surfaces as __d NULL for the guard below.
+        # keys=() needs no join — the global aggregate always returns
+        # exactly one row whose __d is NULL iff the summaries are empty
+        groups = coverage_from.select(*keys).distinct()
+        errs = groups.join(errs, on=keys, how="left")
     guarded = errs.withColumn(
         "__d",
         F.when(
+            F.col("__d").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{op_name}: a key group has no summary rows — "
+                    "empty or incomplete summary table (was every "
+                    "ingest batch summarized?)"
+                )
+            ).cast("long"),
+        )
+        .when(
             F.col("__d") >= F.lit(int(threshold)),
             F.raise_error(
                 F.concat(
@@ -220,7 +272,8 @@ def _hh_candidates(
                     ),
                 )
             ).cast("long"),
-        ).otherwise(F.col("__d")),
+        )
+        .otherwise(F.col("__d")),
     )
     cand_src = summary.where(F.col(item_col).isNotNull())
     if keys:
@@ -252,21 +305,30 @@ def heavy_hitters_from_summaries(
     ingested). The summary side never re-scans history; the verify
     pass reads the corpus once, pruned to candidate rows before its
     aggregate. Same exactness contract and loud D-bound guard as
-    ``heavy_hitters``."""
+    ``heavy_hitters``, plus a coverage guard: a corpus key group with
+    no summary rows (a batch that was never summarized, or an
+    empty/wrong summary table) raises instead of yielding a silently
+    empty answer for that group. The corpus side's NULL keys are
+    rejected loudly too (the one-shot operator gets that for free from
+    its own summary pass; here the corpus and the summaries are
+    different frames — code-review r6)."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1: {threshold}")
     keys = list(keys)
+    df = _guard_null_keys(df, keys, "heavy_hitters_from_summaries")
+    # summaries are sketch-sized; pin so the D-guard branch and the
+    # candidate branch read one materialization (a LIVE summary union
+    # would otherwise re-run every batch's mapInPandas per branch)
+    summaries = summaries.localCheckpoint(eager=False)
     cands = _hh_candidates(
-        summaries, threshold, keys, item_col, "heavy_hitters_from_summaries"
+        summaries,
+        threshold,
+        keys,
+        item_col,
+        "heavy_hitters_from_summaries",
+        coverage_from=df,
     )
-    joined = df.select(*keys, F.col(col).alias(item_col)).join(
-        F.broadcast(cands), on=[*keys, item_col]
-    )
-    return (
-        joined.groupBy(*keys, item_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
-        .where(F.col(count_col) >= threshold)
-    )
+    return _hh_verify(df, cands, col, threshold, keys, item_col, count_col)
 
 
 def heavy_hitters(
@@ -320,11 +382,4 @@ def heavy_hitters(
         df, col, keys=keys, capacity=capacity, item_col=item_col
     ).localCheckpoint(eager=False)
     cands = _hh_candidates(summary, threshold, keys, item_col, "heavy_hitters")
-    joined = df.select(*keys, F.col(col).alias(item_col)).join(
-        F.broadcast(cands), on=[*keys, item_col]
-    )
-    return (
-        joined.groupBy(*keys, item_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
-        .where(F.col(count_col) >= threshold)
-    )
+    return _hh_verify(df, cands, col, threshold, keys, item_col, count_col)

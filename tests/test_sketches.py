@@ -234,3 +234,74 @@ def test_hh_summaries_merge_across_batches(spark):
         ).collect()
     }
     assert got == one
+
+
+def test_hh_from_summaries_d_positive_and_guards(spark):
+    """The incremental path in the REAL D>0 regime (decrements fire),
+    plus its loud-failure guards: merged-D >= threshold raises, an
+    empty summary table raises, a corpus key group with no summary
+    rows raises, and corpus-side NULL keys raise."""
+    from pyspark.errors import PySparkException
+
+    base = spark.range(20_000).select(
+        F.col("id").alias("rid"),
+        # 500-ish uniform tail (forces MG decrements through 64
+        # counters) + one hot item far above any error bound
+        F.when(F.pmod("id", F.lit(5)) == 0, F.lit("hot"))
+        .otherwise(F.pmod("id", F.lit(500)).cast("string"))
+        .alias("tok"),
+    )
+    halves = [
+        base.where(F.col("rid") < 10_000),
+        base.where(F.col("rid") >= 10_000),
+    ]
+    summ = SK.hh_summary(halves[0], "tok", capacity=64).unionByName(
+        SK.hh_summary(halves[1], "tok", capacity=64)
+    )
+    # decrements really fired (500 distinct through 64 counters)
+    assert summ.agg(F.sum("mg_dec")).first()[0] > 0
+    d = summ.agg(F.sum("mg_dec")).first()[0]
+    thr = int(d) + 5  # above the merged bound -> exact contract holds
+    got = {
+        tuple(r)
+        for r in SK.heavy_hitters_from_summaries(
+            summ, base, "tok", threshold=thr
+        ).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in base.groupBy("tok")
+        .count()
+        .where(F.col("count") >= thr)
+        .collect()
+    }
+    assert got == exp and got
+    # merged D >= threshold -> loud
+    with pytest.raises(PySparkException, match="error bound"):
+        SK.heavy_hitters_from_summaries(
+            summ, base, "tok", threshold=int(d)
+        ).collect()
+    # empty summary table -> loud, not an empty answer
+    empty = summ.where(F.lit(False))
+    with pytest.raises(PySparkException, match="no summary rows"):
+        SK.heavy_hitters_from_summaries(
+            empty, base, "tok", threshold=thr
+        ).collect()
+    # a corpus key group the summaries never saw -> loud
+    keyed = base.withColumn("src", F.lit("a"))
+    ks = SK.hh_summary(keyed, "tok", keys=["src"], capacity=64)
+    corpus2 = keyed.unionByName(
+        keyed.limit(10).withColumn("src", F.lit("b"))
+    )
+    with pytest.raises(PySparkException, match="no summary rows"):
+        SK.heavy_hitters_from_summaries(
+            ks, corpus2, "tok", threshold=10_000, keys=["src"]
+        ).collect()
+    # corpus-side NULL key -> loud
+    corpus3 = keyed.unionByName(
+        keyed.limit(5).withColumn("src", F.lit(None).cast("string"))
+    )
+    with pytest.raises(PySparkException, match="NULL key"):
+        SK.heavy_hitters_from_summaries(
+            ks, corpus3, "tok", threshold=10_000, keys=["src"]
+        ).collect()
