@@ -399,6 +399,8 @@ def streaming_ingest_dedup(
     seed: int = 42,
     max_bucket: int | None = 500,
     hash_mode: str = "xxh64",
+    monitor_path: str | None = None,
+    monitor_capacity: int = 4096,
 ):
     """Continuous-ingest near-dup deduplication: each micro-batch of new
     documents is probed against the PERSISTED MinHash index
@@ -433,7 +435,19 @@ def streaming_ingest_dedup(
     a checkpoint + trigger and ``start()``.
 
     Contract: ``id_col`` must be one non-null id space across corpus
-    and all batches (shared ids would self-pair and silently vanish)."""
+    and all batches (shared ids would self-pair and silently vanish).
+
+    Monitoring (``monitor_path``): each batch also appends a
+    Misra-Gries token summary of its SURVIVORS
+    (``sketches.hh_summary`` over the whitespace tokens, one
+    ``ingest_batch`` partition per trigger, dynamic-overwrite
+    replay discipline like the other sinks) — the incremental
+    heavy-hitter table that answers "top tokens/boilerplate in the
+    growing corpus" via ``sketches.heavy_hitters_from_summaries``
+    WITHOUT ever re-summarizing history. A replayed batch fully
+    replaces its own partition; summary contents are bound-equivalent
+    (the MG guarantee holds for any layout), not byte-identical —
+    unlike the dedup sinks, whose replays are bit-exact."""
     from ..operators import dedup as D
     from ..operators.incremental import _dynamic_overwrite
 
@@ -505,6 +519,19 @@ def streaming_ingest_dedup(
             corpus_path,
             ["ingest_batch"],
         )
+        if monitor_path is not None:
+            from ..operators.sketches import hh_summary
+            from ..operators.textstats import _ws_tokens
+
+            toks = kept.select(
+                F.explode(_ws_tokens(F.col(text_col))).alias("__tok")
+            )
+            summ = hh_summary(toks, "__tok", capacity=monitor_capacity)
+            _dynamic_overwrite(
+                summ.withColumn("ingest_batch", F.lit(int(batch_id))),
+                monitor_path,
+                ["ingest_batch"],
+            )
 
     return stream.writeStream.foreachBatch(_process)
 

@@ -24,6 +24,11 @@ Config keys (conf/ingest.yml is the runnable demo):
 - ``minhash``: k / bands / n / threshold / max_bucket / hash_mode /
   seed — MUST stay fixed for the life of one index (band keys are a
   pure function of them).
+- ``monitor`` (optional): ``{"path": ..., "capacity": N,
+  "threshold": T}`` — append a Misra-Gries token summary of each
+  batch's survivors (the incremental heavy-hitter table) and report
+  the exact tokens with corpus count >= T in the final JSON line via
+  ``heavy_hitters_from_summaries`` (history never re-summarized).
 """
 
 from __future__ import annotations
@@ -114,6 +119,10 @@ def main() -> None:
         )
     stream = reader.parquet(glob)
 
+    mon = cfg.get("monitor") or {}
+    if mon:
+        kw["monitor_path"] = mon["path"]
+        kw["monitor_capacity"] = int(mon.get("capacity", 4096))
     writer = streaming_ingest_dedup(
         stream, index_path, corpus_path, **kw
     ).option("checkpointLocation", cfg["checkpoint"])
@@ -127,18 +136,40 @@ def main() -> None:
         q.awaitTermination()
 
     kept = spark.read.parquet(corpus_path)
-    print(
-        json.dumps(
-            {
-                "status": "ok",
-                "bootstrapped": bootstrapped,
-                "corpus_rows": kept.count(),
-                "index_rows": _index_rows(),
-                "corpus": corpus_path,
-                "index": index_path,
-            }
+    summary = {
+        "status": "ok",
+        "bootstrapped": bootstrapped,
+        "corpus_rows": kept.count(),
+        "index_rows": _index_rows(),
+        "corpus": corpus_path,
+        "index": index_path,
+    }
+    if mon:
+        # exact heavy tokens across everything ingested so far: merge
+        # the appended per-batch summaries, verify against the stored
+        # corpus (streamed batches only — the bootstrap corpus predates
+        # the monitor table, so restrict the verify side to match)
+        from pyspark.sql import functions as F
+
+        from feagen_spark.operators.sketches import (
+            heavy_hitters_from_summaries,
         )
-    )
+        from feagen_spark.operators.textstats import _ws_tokens
+
+        toks = kept.where(F.col("ingest_batch") >= 0).select(
+            F.explode(_ws_tokens(F.col(kw["text_col"]))).alias("__tok")
+        )
+        hh = heavy_hitters_from_summaries(
+            spark.read.parquet(mon["path"]),
+            toks,
+            "__tok",
+            threshold=int(mon.get("threshold", 100)),
+        )
+        summary["heavy_tokens"] = {
+            r["item"]: r["n"]
+            for r in hh.orderBy(F.col("n").desc(), "item").collect()
+        }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

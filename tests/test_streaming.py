@@ -620,3 +620,69 @@ def test_rebaseline_minhash_index_preserves_probe(spark, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_streaming_ingest_monitor_summaries(spark, tmp_path):
+    """monitor_path appends one MG token summary per ingest batch;
+    heavy_hitters_from_summaries over the merged table equals the
+    exact token counts of the SURVIVOR corpus (dropped docs never
+    pollute the monitor)."""
+    from pyspark.sql import functions as F
+
+    from feagen_spark.operators import dedup as D
+    from feagen_spark.operators.sketches import heavy_hitters_from_summaries
+    from feagen_spark.operators.textstats import _ws_tokens
+
+    corpus = spark.createDataFrame(
+        [(1, "base corpus text base corpus text nothing else")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "corpus_out")
+    mon = str(tmp_path / "hh_mon")
+    D.write_minhash_index(corpus, idx, k=16, bands=4, ingest_batch=-1)
+
+    b1 = [
+        (101, "spark spark spark streaming alpha beta"),
+        (102, "base corpus text base corpus text nothing else"),  # cross dup -> dropped
+    ]
+    b2 = [(201, "spark tokens spark tokens gamma delta epsilon")]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain_ingest_dedup(
+        spark, stream, idx, out, str(tmp_path / "ck"),
+        k=16, bands=4, threshold=0.7,
+        monitor_path=mon, monitor_capacity=64,
+    )
+
+    kept = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept.collect()} == {101, 201}
+    summ = spark.read.parquet(mon)
+    # one summary partition per streamed batch
+    assert {r["ingest_batch"] for r in summ.select("ingest_batch").distinct().collect()} == {0, 1}
+    toks = kept.select(F.explode(_ws_tokens(F.col("text"))).alias("__tok"))
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_from_summaries(
+            summ, toks, "__tok", threshold=2
+        ).collect()
+    }
+    exp = {
+        (r["__tok"], r["count"])
+        for r in toks.groupBy("__tok").count().where(F.col("count") >= 2).collect()
+    }
+    assert got == exp and got
+    # the dropped doc's tokens never entered the monitor: 'corpus'
+    # appears 2x in the DROPPED text but 0x among survivors
+    assert "corpus" not in dict(got)
