@@ -9,6 +9,7 @@ existing operator; this wires them from config:
       -> near-dup canonical     (minhash LSH pairs -> connected
                                  components -> anti-join non-canonical)
       -> decontaminate          (dedup.cross_ngram_overlap vs a bench set)
+      -> boilerplate line scrub (dedup.boilerplate_scrub, r6)
       -> quality floor          (textstats.add_quality_score)
       -> Gopher rule filter     (textstats.add_gopher_flags, r6)
       -> DSIR target-likeness   (textstats.dsir_logweight ->
@@ -144,6 +145,25 @@ def main() -> None:
         docs = checkpointed(
             docs.join(F.broadcast(hits), on=id_col, how="left_anti"),
             "decontaminate",
+        )
+
+    ls = cfg.get("line_scrub")
+    if ls:
+        # C4 boilerplate-line removal: REPLACES text (cookie banners,
+        # nav menus dropped everywhere they repeat); downstream
+        # quality/token stages see the scrubbed text. Doc count is
+        # unchanged — compose with quality/gopher floors to drop docs
+        # the scrub hollowed out.
+        docs = checkpointed(
+            D.boilerplate_scrub(
+                docs,
+                min_count=int(ls.get("min_count", 3)),
+                id_col=id_col,
+                text_col=text_col,
+                min_chars=int(ls.get("min_chars", 1)),
+                method=ls.get("method", "exact"),
+            ),
+            "line_scrub",
         )
 
     q = cfg.get("quality")

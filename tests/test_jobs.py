@@ -503,3 +503,41 @@ def test_curate_corpus_mixture_stage(spark, tmp_path, monkeypatch, capsys):
     # every id is composite and epoch indices are contiguous from 0
     eps = kept.doc_id.str.split("#").str[1].astype(int)
     assert eps.min() == 0 and eps.max() >= 4
+
+
+def test_curate_corpus_line_scrub_stage(spark, tmp_path, monkeypatch, capsys):
+    """line_scrub: drops repeated boilerplate lines from every doc
+    (text replaced, doc count unchanged) and the scrubbed text feeds
+    downstream stages."""
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = [
+        (1, f"{banner}\nreal article text one", "web"),
+        (2, f"{banner}\nsecond unique article", "web"),
+        (3, f"{banner}\nthird piece of content", "web"),
+        (4, "no banner here at all", "web"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, src string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated_ls")
+    cfg = tmp_path / "curate_ls.yml"
+    cfg.write_text(
+        "\n".join(
+            [
+                "app_name: curate_ls_test",
+                f"input_path: {inp}",
+                'line_scrub: {"min_count": 3}',
+                f"output_path: {out}",
+            ]
+        )
+    )
+    monkeypatch.setattr(sys, "argv", ["curate_corpus", "--config", str(cfg)])
+    _load_job("curate_corpus").main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel"] == {"input": 4, "line_scrub": 4, "output": 4}
+    kept = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    for i in (1, 2, 3):
+        assert banner not in kept[i]["text"] and kept[i]["n_lines_dropped"] == 1
+    assert kept[4]["text"] == rows[3][1] and kept[4]["n_lines_dropped"] == 0
