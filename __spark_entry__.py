@@ -2527,15 +2527,13 @@ def oracle_sql() -> dict[str, str]:
         -- normalized text repeats (count >= 2) corpus-wide; short
         -- lines are structural (np length < 1 can't happen at
         -- min_chars=1 except empties, which survive)
-        , counted AS (
-            SELECT g, pos, para,
-                   regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS np
-            FROM paras
-        ), hotlines AS (
-            SELECT np FROM counted WHERE length(np) >= 1
+        -- `ranked` already carries the normalized line np — reuse it
+        -- (one normalization definition; code-review r6)
+        , hotlines AS (
+            SELECT np FROM ranked WHERE length(np) >= 1
             GROUP BY np HAVING count(*) >= 2
         ), bp_kept AS (
-            SELECT g, pos, para FROM counted
+            SELECT g, pos, para FROM ranked
             WHERE length(np) < 1 OR np NOT IN (SELECT np FROM hotlines)
         ), bp_reb AS (
             SELECT g, count(*) AS nk,

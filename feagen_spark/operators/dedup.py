@@ -109,15 +109,8 @@ def paragraph_dedup(
 
     No public-feagen counterpart (reference scope is feature DAGs);
     this belongs to the task brief's dedup family."""
-    import re as _re
-
     spark_df = df
-    paras = spark_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
-        ).alias("__pos", "__para"),
-    )
+    paras = _explode_pieces(spark_df, id_col, text_col, sep)
     key = F.md5(_norm("__para"))
     eligible = paras.where(
         F.length(_norm("__para")) >= int(min_chars)
@@ -145,6 +138,22 @@ def paragraph_dedup(
     )
     return _reassemble(
         spark_df, paras, survivors, id_col, text_col, sep, count_col
+    )
+
+
+def _explode_pieces(
+    spark_df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """Shared head of the line/paragraph scrubbers: one (id, position,
+    piece) row per sep-delimited piece; NULL text is treated as empty
+    (the row survives with a single empty piece)."""
+    import re as _re
+
+    return spark_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("__pos", "__para"),
     )
 
 
@@ -219,17 +228,10 @@ def boilerplate_scrub(
     so it never silently under-scrubs — fall back to 'exact' then.
     Survivor filter is a null-safe LEFT ANTI join on the digest
     (structural lines carry a NULL digest and always survive)."""
-    import re as _re
-
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2: {min_count}")
     spark_df = df
-    paras = spark_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
-        ).alias("__pos", "__para"),
-    )
+    paras = _explode_pieces(spark_df, id_col, text_col, sep)
     key = F.when(
         F.length(_norm("__para")) >= int(min_chars), F.md5(_norm("__para"))
     )

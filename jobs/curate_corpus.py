@@ -162,6 +162,7 @@ def main() -> None:
                 text_col=text_col,
                 min_chars=int(ls.get("min_chars", 1)),
                 method=ls.get("method", "exact"),
+                capacity=int(ls.get("capacity", 1 << 15)),
             ),
             "line_scrub",
         )

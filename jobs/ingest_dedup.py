@@ -145,10 +145,15 @@ def main() -> None:
         "index": index_path,
     }
     if mon:
-        # exact heavy tokens across everything ingested so far: merge
-        # the appended per-batch summaries, verify against the stored
-        # corpus (streamed batches only — the bootstrap corpus predates
-        # the monitor table, so restrict the verify side to match)
+        # exact heavy tokens over the MONITORED batches: merge the
+        # appended per-batch summaries, verify against exactly the
+        # corpus partitions those summaries cover. The verify side
+        # must not include unsummarized batches (the bootstrap corpus,
+        # or batches ingested before the monitor was enabled) — the MG
+        # absent-item bound only holds for summarized data, so a heavy
+        # token living in an unmonitored batch would be silently
+        # missing rather than guarded (code-review r6). The covered
+        # batch list is reported so a reader can see the scope.
         from pyspark.sql import functions as F
 
         from feagen_spark.operators.sketches import (
@@ -156,19 +161,33 @@ def main() -> None:
         )
         from feagen_spark.operators.textstats import _ws_tokens
 
-        toks = kept.where(F.col("ingest_batch") >= 0).select(
-            F.explode(_ws_tokens(F.col(kw["text_col"]))).alias("__tok")
-        )
-        hh = heavy_hitters_from_summaries(
-            spark.read.parquet(mon["path"]),
-            toks,
-            "__tok",
-            threshold=int(mon.get("threshold", 100)),
-        )
-        summary["heavy_tokens"] = {
-            r["item"]: r["n"]
-            for r in hh.orderBy(F.col("n").desc(), "item").collect()
-        }
+        try:
+            summ = spark.read.parquet(mon["path"])
+        except Exception:
+            # monitor enabled but no batch ever fired (empty stream)
+            summary["heavy_tokens"] = None
+            summary["monitored_batches"] = []
+        else:
+            batches = sorted(
+                r["ingest_batch"]
+                for r in summ.select("ingest_batch").distinct().collect()
+            )
+            toks = kept.where(
+                F.col("ingest_batch").isin(batches)
+            ).select(
+                F.explode(_ws_tokens(F.col(kw["text_col"]))).alias("__tok")
+            )
+            hh = heavy_hitters_from_summaries(
+                summ,
+                toks,
+                "__tok",
+                threshold=int(mon.get("threshold", 100)),
+            )
+            summary["heavy_tokens"] = {
+                r["item"]: r["n"]
+                for r in hh.orderBy(F.col("n").desc(), "item").collect()
+            }
+            summary["monitored_batches"] = batches
     print(json.dumps(summary))
 
 
