@@ -1091,13 +1091,20 @@ def temperature_budgets(
             F.col("__raw") / F.sum("__raw").over(w_all),
         ).otherwise(F.lit(0.0)),
     )
+    # budget association mirrors the DuckDB oracle exactly —
+    # fl(fl(total*raw)/Σraw), NOT fl(fl(raw/Σraw)*total) — the two
+    # trees can differ by 1 ulp and flip the rounded integer at a .5
+    # boundary (code-review r6)
+    budget = F.when(
+        F.sum("__raw").over(w_all) > 0,
+        F.round(
+            F.lit(float(total_budget))
+            * F.col("__raw")
+            / F.sum("__raw").over(w_all)
+        ),
+    ).otherwise(F.lit(0.0))
     return (
-        out.withColumn(
-            out_col,
-            F.round(F.col("weight") * F.lit(float(total_budget))).cast(
-                "long"
-            ),
-        )
+        out.withColumn(out_col, budget.cast("long"))
         .withColumn("total_tokens", F.col("total_tokens").cast("long"))
         .drop("__raw")
     )

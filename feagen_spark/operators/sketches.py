@@ -248,6 +248,14 @@ def _hh_candidates(
         # exactly one row whose __d is NULL iff the summaries are empty
         groups = coverage_from.select(*keys).distinct()
         errs = groups.join(errs, on=keys, how="left")
+    if coverage_from is None:
+        # one-shot path (heavy_hitters over its own summary): an empty
+        # or all-structural input simply has no summaries — D is 0 and
+        # the answer is legitimately empty, matching the exact-mode
+        # no-op (code-review r6). The loud NULL-D guard below is for
+        # the INCREMENTAL path, where a missing summary table is a
+        # misconfiguration, never a benign empty input.
+        errs = errs.withColumn("__d", F.coalesce("__d", F.lit(0)))
     guarded = errs.withColumn(
         "__d",
         F.when(
@@ -311,7 +319,15 @@ def heavy_hitters_from_summaries(
     empty answer for that group. The corpus side's NULL keys are
     rejected loudly too (the one-shot operator gets that for free from
     its own summary pass; here the corpus and the summaries are
-    different frames — code-review r6)."""
+    different frames — code-review r6).
+
+    KEYLESS LIMITATION: with ``keys=()`` there is no group key to
+    join coverage on, so only a fully EMPTY summary table is
+    detectable — the caller must restrict ``df`` to the data the
+    summaries actually cover (e.g. filter the stored corpus to the
+    summarized ``ingest_batch`` partitions, as ``jobs/ingest_dedup.py``
+    does); rows outside that slice are outside the MG bound and a
+    heavy item living in them would be silently missing."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1: {threshold}")
     keys = list(keys)

@@ -1700,3 +1700,12 @@ def test_boilerplate_scrub_sketch_mode_and_guards(spark):
     assert n == 4000  # every line repeats 8x >= 3
     with pytest.raises(ValueError, match="min_count"):
         D.boilerplate_scrub(df, min_count=1)
+
+
+def test_boilerplate_scrub_sketch_empty_corpus_noop(spark):
+    """sketch mode on an empty / all-structural corpus is a clean
+    no-op like exact mode, not a missing-summary crash."""
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_dropped"])
+           for r in D.boilerplate_scrub(df, min_count=2, method="sketch").collect()}
+    assert got == {1: ("", 0), 2: ("", 0)}

@@ -305,3 +305,13 @@ def test_hh_from_summaries_d_positive_and_guards(spark):
         SK.heavy_hitters_from_summaries(
             ks, corpus3, "tok", threshold=10_000, keys=["src"]
         ).collect()
+
+
+def test_heavy_hitters_empty_input_is_empty_not_an_error(spark):
+    """One-shot path: zero rows (or zero eligible items) means D=0 and
+    a legitimately empty answer — NOT the incremental path's loud
+    missing-summary error (code-review r6)."""
+    empty = spark.createDataFrame([], "tok string")
+    assert SK.heavy_hitters(empty, "tok", threshold=2, capacity=8).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "tok string")
+    assert SK.heavy_hitters(nulls, "tok", threshold=2, capacity=8).count() == 0
