@@ -284,10 +284,28 @@ def main() -> None:
 
         spark.range(64, numPartitions=32).select(_wu("id")).collect()
 
+        # canary: one fixed JVM-only job timed at start / middle / end
+        # of the loop. Host contention on this box arrives in BURSTS —
+        # legs inside a burst inflate 4-10x while legs in gaps match a
+        # quiet box exactly, which the per-leg best-of-2 spread CANNOT
+        # see (both runs of a leg usually share the burst). Canary
+        # divergence (max/min > 1.5) catches exactly that pattern.
+        def _canary() -> float:
+            t0 = time.perf_counter()
+            spark.range(30_000_000, numPartitions=32).groupBy(
+                (F.col("id") % 997).alias("k")
+            ).count().write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        _canary()  # warm the canary's own codegen once
+        canaries = [_canary()]
+
         qs = E.queries()
         total = dag_sec
         spreads = {}
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
+            if i == len(HEADLINE) // 2:
+                canaries.append(_canary())
             runs = []
             for _ in range(BENCH_RUNS):
                 t0 = time.perf_counter()
@@ -297,6 +315,9 @@ def main() -> None:
             result["queries"][name] = round(el, 3)
             spreads[name] = round(max(runs) / max(el, 1e-9), 2)
             total += el
+        canaries.append(_canary())
+        result["canary_secs"] = [round(c, 3) for c in canaries]
+        result["canary_ratio"] = round(max(canaries) / min(canaries), 2)
         # weather guard (VERDICT r5 #4): a contended box inflates legs
         # 1.5-2x uniformly with identical plans/shuffle bytes — record
         # the per-leg best-vs-worst spread so a cold reader can tell
@@ -332,7 +353,10 @@ def main() -> None:
     busy_before = bool(load_before) and load_before[0] > 2.0
     busy_after = bool(load_after) and load_after[0] > 12.0
     med = result.get("leg_spread_median", 1.0)
-    result["weather_suspect"] = bool(busy_before or busy_after or med >= 1.5)
+    bursty = result.get("canary_ratio", 1.0) >= 1.5
+    result["weather_suspect"] = bool(
+        busy_before or busy_after or med >= 1.5 or bursty
+    )
 
     line = json.dumps(result)
     print(line)
