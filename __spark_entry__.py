@@ -1331,7 +1331,13 @@ def q_doc_negatives(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     anchors = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
-    corpus = docs.select("doc_id")
+    # repartition the candidate side (r7): the testdata parquet is ONE
+    # row-group, so the probe join + per-candidate ranking hash would
+    # run single-task (measured 354 s at sf1.0 — the md5 over
+    # |anchors|·k·|corpus|/n_buckets joined rows is the whole cost and
+    # it parallelizes embarrassingly; 50k skinny shuffle rows buy 32
+    # cores). Same _docs() rationale.
+    corpus = docs.select("doc_id").repartition(64, "doc_id")
     out = deterministic_negatives(
         anchors, corpus, "doc_id", "doc_id",
         k=4, n_buckets=32, method="md5",

@@ -444,15 +444,31 @@ def deterministic_negatives(
         )
     else:
         rank_h = F.xxhash64(F.lit(seed + 2), "__anchor", "draw", "neg_id")
-    w = Window.partitionBy("__anchor", "draw").orderBy(rank_h, "neg_id")
+    # top-1 per (anchor, draw) via min(struct) — NOT a row_number window
+    # (r7 optimization, guide §2.3): the probe join emits
+    # |anchors|·k·|corpus|/n_buckets rows, and a window would shuffle +
+    # sort ALL of them; min(struct(rank, id)) is map-side combinable, so
+    # only one partial row per (anchor, draw) per task reaches the
+    # exchange. struct comparison is field-by-field (rank_h, then
+    # neg_id) — identical pick to row_number over orderBy(rank_h,
+    # neg_id); rank_h is never NULL (md5/xxhash64 of non-null input).
+    # Measured at sf1.0 (50k corpus, 5k anchors, 31M joined rows, with
+    # the caller parallelizing the candidate scan): 354s → 14s.
     picked = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        joined.groupBy("__anchor", "draw")
+        .agg(
+            F.min(F.struct(rank_h.alias("__h"), F.col("neg_id"))).alias(
+                "__top"
+            )
+        )
+        .select("__anchor", "draw", F.col("__top.neg_id").alias("neg_id"))
     )
-    w_dup = Window.partitionBy("__anchor", "neg_id").orderBy("draw")
+    # duplicate collapse (lowest draw wins) — same min-agg shape; the
+    # input is already ≤ |anchors|·k rows so this is cosmetic, but it
+    # keeps the whole operator window-free.
     return (
-        picked.withColumn("__dn", F.row_number().over(w_dup))
-        .where(F.col("__dn") == 1)
+        picked.groupBy("__anchor", "neg_id")
+        .agg(F.min("draw").alias("draw"))
         .select(
             F.col("__anchor").alias(anchor_id),
             F.col("draw").cast("int").alias("draw"),

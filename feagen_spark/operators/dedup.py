@@ -290,8 +290,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    mode: str = "auto",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (a<b) with sim >= threshold."""
+    """Exact n-gram Jaccard similarity pairs (a<b) with sim >= threshold.
+
+    Two physical plans, same exact result:
+
+    - ``mode='blocked'`` (the ``'auto'`` default, r7 optimization): the
+      shingle-explode self-join blows up as Σ_s df(s)² — on a templated
+      corpus the char-n-gram vocabulary is tiny (measured 377 distinct
+      3-grams over 10k driver docs), every shingle is hot, and the join
+      materializes BILLIONS of rows (8.9B at sf1.0, 162 s). Instead the
+      pair space itself is partitioned: docs hash into ``n_blocks``
+      blocks, every unordered block pair (i ≤ j) is one task, and each
+      task receives exactly its two blocks' shingle rows (each row
+      replicated n_blocks times — shuffle is n·B *shingle* rows, never
+      pair rows). Inside a task the intersection counts come from one
+      dense 0/1 matmul over the locally factorized vocabulary (exact:
+      0/1 products, counts ≤ 2²⁴ in float32) when the local vocab is
+      small, else a vectorized pandas merge+groupby (the join algorithm,
+      local). Candidates pass a τ−1e-6 prefilter in float64 (the same
+      IEEE division the JVM performs — the margin only guards the
+      HALF_EVEN/HALF_UP rounding difference); the returned jaccard is
+      re-derived in the JVM from the exact integer (inter, sz_a, sz_b),
+      so emitted values are bit-identical to the join plan. Measured on
+      the sf1.0 cluster subset (10k docs, 18.9M qualifying pairs):
+      ~230 s (isolated join plan, dominated by the blowup) → 3.8 s warm
+      for the full pair list.
+    - ``mode='join'``: the original shingle-explode self-join — fastest
+      when df(s) is uniformly tiny and pairs are rare.
+
+    At 100 TB: exact all-pairs Jaccard is inherently O(pairs) work;
+    ``n_blocks`` spreads the B(B+1)/2 block-pair tasks across the
+    cluster (size it so one block's shingle rows fit a task), and the
+    subquadratic escape hatch stays ``minhash_lsh_pairs``.
+    """
+    if mode not in ("auto", "blocked", "join"):
+        raise ValueError(f"unknown ngram_jaccard_pairs mode {mode!r}")
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     if max_df is not None:
         hot = (
@@ -301,23 +337,32 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    if mode == "join":
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        sa = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+        )
+        cand = inter.join(sa, "id_a").join(sb, "id_b")
+    else:
+        cand = _blocked_pair_counts(
+            sh, id_col=id_col, threshold=threshold, n_blocks=n_blocks
+        )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        cand.withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
@@ -328,6 +373,155 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# dense-matmul cutoff for the in-task intersection counter: above this
+# local vocab size the 0/1 membership matrix stops being comfortably
+# small ((docs/block)×vocab float32) and the vectorized merge path —
+# whose local cost is the true Σ df² of the SPARSE regime that large
+# vocabularies imply — wins.
+_BLOCKED_DENSE_VOCAB_MAX = 16384
+
+
+def _blocked_pair_counts(
+    sh: DataFrame, id_col: str, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Exact per-pair intersection counts + set sizes for every doc pair
+    whose raw Jaccard clears ``threshold − 1e-6``, computed block-pair-
+    wise (see ``ngram_jaccard_pairs``). Emits
+    (id_a, id_b, inter, sz_a, sz_b) with id_a < id_b; the caller owns
+    the final (JVM, bit-exact) jaccard arithmetic and threshold."""
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks < 1:
+        raise ValueError("n_blocks must be >= 1")
+    b_lit = F.lit(int(n_blocks))
+    id_t = sh.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, inter long, sz_a long, sz_b long"
+    # τ prefilter with slack: the in-task division is the same IEEE-754
+    # float64 op the JVM runs on identical integers, so 1e-6 only has to
+    # cover numpy's HALF_EVEN vs Spark's HALF_UP at the 6dp boundary.
+    tau = float(threshold) - 1e-6
+
+    # NULL ids can never appear in an (id_a < id_b) pair of the join
+    # plan — drop them before they reach numpy comparisons
+    rows = sh.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        "shingle",
+        F.pmod(F.xxhash64(F.col(id_col)), b_lit).cast("int").alias("__blk"),
+    ).select(
+        "__id",
+        "shingle",
+        "__blk",
+        F.explode(F.sequence(F.lit(0), b_lit - 1)).alias("__p"),
+    ).select(
+        "__id",
+        "shingle",
+        "__blk",
+        F.least("__blk", "__p").alias("__bi"),
+        F.greatest("__blk", "__p").alias("__bj"),
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=pdf["__id"].dtype),
+                "id_b": pd.Series(dtype=pdf["__id"].dtype),
+                "inter": pd.Series(dtype="int64"),
+                "sz_a": pd.Series(dtype="int64"),
+                "sz_b": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        bi = int(pdf["__bi"].iloc[0])
+        bj = int(pdf["__bj"].iloc[0])
+        codes, uniq = pd.factorize(pdf["shingle"])
+        v = len(uniq)
+        blk = pdf["__blk"].to_numpy()
+
+        def _side(mask):
+            ids_u, doc_codes = np.unique(
+                pdf["__id"].to_numpy()[mask], return_inverse=True
+            )
+            return ids_u, doc_codes, codes[mask]
+
+        ids_a, dc_a, sc_a = _side(blk == bi)
+        if bi == bj:
+            ids_b, dc_b, sc_b = ids_a, dc_a, sc_a
+        else:
+            ids_b, dc_b, sc_b = _side(blk == bj)
+        if not len(ids_a) or not len(ids_b):
+            return empty
+        sz_a = np.bincount(dc_a, minlength=len(ids_a)).astype("int64")
+        sz_b = np.bincount(dc_b, minlength=len(ids_b)).astype("int64")
+        if v <= _BLOCKED_DENSE_VOCAB_MAX:
+            # dense 0/1 matmul: exact integer counts in float32
+            mb = np.zeros((len(ids_b), v), dtype=np.float32)
+            mb[dc_b, sc_b] = 1.0
+            ia_all, ib_all, inter_all = [], [], []
+            # slab bound covers BOTH the membership slab (step×v) and
+            # the count slab (step×|ids_b|): ≤ ~128 MB float32 each
+            step = max(1, (1 << 25) // max(v, len(ids_b)))
+            for lo in range(0, len(ids_a), step):
+                hi = min(lo + step, len(ids_a))
+                ma = np.zeros((hi - lo, v), dtype=np.float32)
+                sl = (dc_a >= lo) & (dc_a < hi)
+                ma[dc_a[sl] - lo, sc_a[sl]] = 1.0
+                inter = ma @ mb.T
+                ii, jj = np.nonzero(inter)
+                ia_all.append(ii + lo)
+                ib_all.append(jj)
+                inter_all.append(inter[ii, jj].astype("int64"))
+            ia = np.concatenate(ia_all)
+            ib = np.concatenate(ib_all)
+            inter = np.concatenate(inter_all)
+        else:
+            # sparse regime: vectorized merge+groupby — the join
+            # algorithm run locally, cheap exactly when dfs are tiny
+            da = pd.DataFrame({"c": sc_a, "da": dc_a})
+            db = pd.DataFrame({"c": sc_b, "db": dc_b})
+            m = da.merge(db, on="c")
+            if not len(m):
+                return empty
+            g = (
+                m.groupby(["da", "db"], sort=False)
+                .size()
+                .reset_index(name="inter")
+            )
+            ia = g["da"].to_numpy()
+            ib = g["db"].to_numpy()
+            inter = g["inter"].to_numpy().astype("int64")
+        va = ids_a[ia]
+        vb = ids_b[ib]
+        keep = va != vb
+        # id_a < id_b regardless of which block a doc fell in
+        lo_id = np.where(va < vb, va, vb)[keep]
+        hi_id = np.where(va < vb, vb, va)[keep]
+        lo_sz = np.where(va < vb, sz_a[ia], sz_b[ib])[keep]
+        hi_sz = np.where(va < vb, sz_b[ib], sz_a[ia])[keep]
+        it = inter[keep]
+        if bi == bj:
+            # within-block matmul sees each unordered pair twice
+            dedupe = va[keep] < vb[keep]
+            lo_id, hi_id = lo_id[dedupe], hi_id[dedupe]
+            lo_sz, hi_sz = lo_sz[dedupe], hi_sz[dedupe]
+            it = it[dedupe]
+        j_raw = it / (lo_sz + hi_sz - it)
+        sel = it >= 1
+        sel &= j_raw >= tau
+        return pd.DataFrame(
+            {
+                "id_a": lo_id[sel],
+                "id_b": hi_id[sel],
+                "inter": it[sel],
+                "sz_a": lo_sz[sel],
+                "sz_b": hi_sz[sel],
+            }
+        )
+
+    return rows.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
 
 
 # -- MinHash + LSH ---------------------------------------------------------------
@@ -879,6 +1073,65 @@ def cross_ngram_overlap(
 
 # -- dedup clusters (connected components) ---------------------------------------
 
+def _forest_reduce(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Connectivity-preserving edge reduction: per input PARTITION, a
+    union-find over that partition's edges emits only the ~|V_partition|
+    tree edges that first connected two components (plus first-seen
+    self-loops, so no vertex disappears) — every emitted edge is one of
+    the partition's input edges, and both endpoints of every dropped
+    edge remain connected through the kept ones, so both the vertex set
+    and the global connected components (any partitioning, any edge
+    order) are IDENTICAL. Map-only (no shuffle); rows with a NULL endpoint pass
+    through unreduced (they never merge components in the propagation
+    joins either, so reducing across them could only lose whatever
+    degenerate semantics they had)."""
+    import pandas as pd
+
+    sel = pairs.select(id_a, id_b)
+    schema = sel.schema
+
+    def _reduce(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            ka = pdf[id_a]
+            kb = pdf[id_b]
+            null_mask = ka.isna() | kb.isna()
+            if null_mask.any():
+                yield pdf[null_mask]
+            keep = []
+            av = ka[~null_mask].to_numpy()
+            bv = kb[~null_mask].to_numpy()
+            for i in range(len(av)):
+                a = av[i]
+                b = bv[i]
+                new_a = a not in parent
+                if new_a:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+                    keep.append(i)
+                elif new_a and a == b:
+                    # first-seen self-loop: keep it, or the vertex (and
+                    # its singleton cluster row downstream) would vanish
+                    keep.append(i)
+            if keep:
+                yield pdf[~null_mask].iloc[keep]
+
+    return sel.mapInPandas(_reduce, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -925,6 +1178,19 @@ def connected_components(
         return _cc_star(pairs, id_a, id_b, max_iter)
     if method != "min_label":
         raise ValueError(f"unknown connected_components method {method!r}")
+    # partition-local spanning-forest reduction (r7, guide §2.3):
+    # components are invariant under ANY edge subset with the same
+    # connectivity, and a dense dup family of m docs contributes
+    # ~m²/2 pair edges where m−1 carry all the information. One
+    # map-only union-find per input partition collapses each
+    # partition's edges to a forest (≤ its distinct-vertex count), so
+    # the symmetrize/distinct materialization and every propagation
+    # round run on ~|V| edges instead of ~|pairs| — measured 18.9M →
+    # ~0.1M edges on the sf1.0 dup-cluster graph. Cross-partition
+    # connectivity is untouched: every reduced edge is a real input
+    # edge, and each input edge's endpoints stay connected inside its
+    # own partition's forest.
+    pairs = _forest_reduce(pairs, id_a, id_b)
     if target_partitions is not None:
         pairs = pairs.repartition(int(target_partitions))
     from pyspark.sql import Observation
@@ -1012,6 +1278,13 @@ def _cc_star(
     by an order-independent edge-set signature (count + decimal xxhash
     sum — the same overflow-proof convention as the write-audit
     checksum)."""
+    # same connectivity-preserving forest reduction as min_label (r7):
+    # star contraction's per-round joins scale with |edges|, and a
+    # dense dup family needs only its tree edges. The reduction keeps
+    # every vertex's FIRST edge (incl. first-seen self-loops), so the
+    # vertex set — and therefore the singleton-cluster rows `verts`
+    # produces below — is exactly the input's.
+    pairs = _forest_reduce(pairs, id_a, id_b)
     e0 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     # every vertex the pair list mentions — self-loop-only vertices have
     # no (hi > lo) edge but must still come back as their own singleton

@@ -736,21 +736,71 @@ def semantic_dedup(
             ),
         )
     )
+    # r7 optimization (guide §4.2): the within-cluster pair cosine used
+    # to run as a JVM self-join evaluating THREE O(dim) higher-order
+    # folds per pair — ~n²/(2k) interpreted-fold pairs (12.6M at sf1.0,
+    # 70 s). Candidate pairs now come from ONE float64 matmul per
+    # cluster (BLAS), over-approximated with a 2e-6 margin (numpy GEMM
+    # error is ~1e-12 for unit vectors; the margin also covers the 6dp
+    # HALF_UP rounding the JVM applies), and ONLY candidates are
+    # re-scored with the original `_cos` JVM fold — so every emitted
+    # pair_cos, the threshold decision, and the drop rule are
+    # bit-identical to the self-join plan. Zero-norm vectors score 0.0
+    # in both paths; NULL vectors never produce candidates (the JVM
+    # plan's `pair_cos >= threshold` filter rejects NULL anyway).
+    idt = assigned.schema[id_col].dataType.simpleString()
+    tau = float(threshold) - 2e-6
+
+    def _cands(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "__id_a": pd.Series(dtype=pdf[id_col].dtype),
+                "__id_b": pd.Series(dtype=pdf[id_col].dtype),
+            }
+        )
+        pdf = pdf[pdf[vec_col].notna()]
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0] = np.inf  # zero vectors: sim 0 everywhere
+        Xn = X / nrm[:, None]
+        out_a, out_b = [], []
+        step = max(1, (1 << 24) // max(m, 1))  # ≤ ~128 MB per sim slab
+        for lo in range(0, m, step):
+            hi = min(lo + step, m)
+            sims = Xn[lo:hi] @ Xn.T
+            ii, jj = np.nonzero(sims >= tau)
+            ii = ii + lo
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"__id_a": np.concatenate(out_a), "__id_b": np.concatenate(out_b)}
+        )
+
+    cands = (
+        assigned.select("centroid_id", id_col, vec_col)
+        .groupBy("centroid_id")
+        .applyInPandas(_cands, f"__id_a {idt}, __id_b {idt}")
+    )
     a = assigned.select(
-        "centroid_id",
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),
         F.col("cent_sim").alias("__sim_a"),
     )
     b = assigned.select(
-        "centroid_id",
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vec_b"),
         F.col("cent_sim").alias("__sim_b"),
     )
     dropped = (
-        a.join(b, "centroid_id")
-        .where(F.col("__id_a") < F.col("__id_b"))
+        F.broadcast(F.broadcast(cands).join(a, "__id_a"))
+        .join(b, "__id_b")
         .select(
             "__id_a",
             "__id_b",

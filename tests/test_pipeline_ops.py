@@ -153,6 +153,87 @@ def test_ngram_jaccard_pairs_match_oracle(docs, docs_pdf):
         assert np.isclose(got[k], exp[k], atol=1e-6), k
 
 
+def test_ngram_jaccard_blocked_equals_join(docs):
+    """r7: the blocked matmul plan must emit BIT-IDENTICAL rows to the
+    original shingle-self-join plan — pair set, jaccard doubles, and
+    under max_df / every n_blocks (1 ⇒ a single in-task matmul; 3 ⇒
+    docs split across real block pairs)."""
+    for kw in ({}, {"max_df": 5}):
+        ref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.3, mode="join", **kw
+            ).collect()
+        }
+        for nb in (1, 3):
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.3, mode="blocked", n_blocks=nb, **kw
+                ).collect()
+            }
+            assert got == ref, (kw, nb)
+
+
+def test_forest_reduce_preserves_components(spark):
+    """r7: _forest_reduce must keep (a) every vertex — including ones
+    seen only in a self-loop row, (b) exact component structure, with
+    (c) only input edges, across a multi-partition scatter of a graph
+    with dense cliques, chains, dups and reversed dups."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    for base in (0, 100, 200):  # three 12-cliques: dense dup families
+        mem = [base + i for i in range(12)]
+        edges += [(a, b) for a in mem for b in mem if a < b]
+    edges += [(1000 + i, 1001 + i) for i in range(30)]  # a long chain
+    edges += [(5000, 5000), (42, 42)]  # self-loops (5000 is isolated)
+    edges += [(e[1], e[0]) for e in edges[:20]]  # reversed dups
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
+    red = D._forest_reduce(df, "id_a", "id_b").collect()
+    in_set = {(a, b) for a, b in edges}
+    red_pairs = [(r["id_a"], r["id_b"]) for r in red]
+    assert all(p in in_set for p in red_pairs)  # only input edges
+
+    def comps(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        return {v: find(v) for v in parent}
+
+    ref, got = comps(edges), comps(red_pairs)
+    assert set(ref) == set(got)  # vertex set incl. self-loop-only 5000
+    ref_groups = {}
+    got_groups = {}
+    for v in ref:
+        ref_groups.setdefault(ref[v], set()).add(v)
+        got_groups.setdefault(got[v], set()).add(v)
+    assert sorted(map(sorted, ref_groups.values())) == sorted(
+        map(sorted, got_groups.values())
+    )
+    # reduction strength: partition-local forests shave SOMETHING even
+    # scattered over 7 partitions, and collapse a co-located clique to
+    # ~|V| edges
+    assert len(red_pairs) < len(edges)
+    red1 = D._forest_reduce(
+        df.coalesce(1), "id_a", "id_b"
+    ).count()
+    n_vertices = len(ref)
+    assert red1 <= n_vertices + 2  # forest + kept self-loops
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     got = {
         (r["id_a"], r["id_b"])
