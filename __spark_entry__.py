@@ -432,7 +432,14 @@ def q_ev_type_stats(spark, sf_dir):
     two-groupBy + inner-join stitch scanned events twice, added a join
     exchange, and would null-reject an event_type=NULL group that the
     single-GROUP-BY oracle keeps)."""
-    ev = _events(spark, sf_dir)
+    # repartition (r7): events.parquet is ONE row-group, and this
+    # query's map side (JSON extraction + exact-percentile partials)
+    # otherwise runs inside the single scan task — the same _docs()
+    # rationale. The window queries don't need it (their first exchange
+    # is the user_id partitioning; the scan task only decodes), but
+    # here the partial aggregation IS the CPU. Measured 3.9 → ~1.3 s at
+    # sf1.0.
+    ev = _events(spark, sf_dir).repartition(64, "event_id")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.withColumn("k", k)
@@ -1423,7 +1430,10 @@ def q_doc_mixture_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("token_count").cast("bigint").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-    )
+    ).localCheckpoint()  # r7: pin the 97-row stratum frame — it feeds
+    # BOTH temperature_budgets and the final join, and without the pin
+    # each consumer re-runs the full tokenize+aggregate corpus pass
+    # (the dsir docs-pin rationale, at aggregate granularity)
     skew = key_skew_report(docs, ["lang", "source"], top_k=100_000).select(
         "lang", "source", "share", "uniform_ratio",
         F.col("rank").cast("int").alias("skew_rank"),
@@ -1532,6 +1542,12 @@ def q_doc_minhash_pairs(spark, sf_dir):
     operating point τ=0.8; max_bucket bounds the candidate join against
     the corpus's giant template clusters (one B-member bucket otherwise
     yields B² candidates)."""
+    # r7 note: dict_hash=True (hash the 377-shingle domain once,
+    # broadcast back, skip 7.5M per-occurrence md5s) was A/B-measured
+    # at sf1.0 and came out a wash (8.8-10.1 s vs 8.1-9.9 s warm
+    # interleaved) — the distinct+broadcast build job eats exactly what
+    # the cheaper hashing saves, matching the sf0.1 measurement in the
+    # operator docstring. Left at the default.
     return D.minhash_lsh_pairs(
         _docs(spark, sf_dir), k=32, bands=8, threshold=0.8,
         max_bucket=200, hash_mode="md5",

@@ -1075,16 +1075,19 @@ def cross_ngram_overlap(
 
 def _forest_reduce(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Connectivity-preserving edge reduction: per input PARTITION, a
-    union-find over that partition's edges emits only the ~|V_partition|
-    tree edges that first connected two components (plus first-seen
-    self-loops, so no vertex disappears) — every emitted edge is one of
-    the partition's input edges, and both endpoints of every dropped
-    edge remain connected through the kept ones, so both the vertex set
-    and the global connected components (any partitioning, any edge
-    order) are IDENTICAL. Map-only (no shuffle); rows with a NULL endpoint pass
-    through unreduced (they never merge components in the propagation
-    joins either, so reducing across them could only lose whatever
-    degenerate semantics they had)."""
+    union-find over that partition's edges, then ONE (local_root, v)
+    star row per distinct vertex. Components are invariant — the star
+    connects exactly the vertices the partition's edges connected, and
+    every input vertex appears (a root emits its own (r, r) self-loop
+    row) — while |output| drops from |pairs| to |V_partition| AND the
+    reduced graph's diameter is 2 per partition component, so
+    downstream min-label propagation converges in ~1 round even where
+    the input was a long chain (a spanning-FOREST emission, the obvious
+    alternative, preserves whatever diameter the union-find tree
+    happened to build — a clique's pairs can come back as a path and
+    cost diameter/2 propagation rounds). Map-only (no shuffle); rows
+    with a NULL endpoint pass through unreduced (they never merge
+    components in the propagation joins either)."""
     import pandas as pd
 
     sel = pairs.select(id_a, id_b)
@@ -1107,27 +1110,25 @@ def _forest_reduce(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
             null_mask = ka.isna() | kb.isna()
             if null_mask.any():
                 yield pdf[null_mask]
-            keep = []
             av = ka[~null_mask].to_numpy()
             bv = kb[~null_mask].to_numpy()
             for i in range(len(av)):
                 a = av[i]
                 b = bv[i]
-                new_a = a not in parent
-                if new_a:
+                if a not in parent:
                     parent[a] = a
                 if b not in parent:
                     parent[b] = b
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[rb] = ra
-                    keep.append(i)
-                elif new_a and a == b:
-                    # first-seen self-loop: keep it, or the vertex (and
-                    # its singleton cluster row downstream) would vanish
-                    keep.append(i)
-            if keep:
-                yield pdf[~null_mask].iloc[keep]
+            # batches are independent of the star emission below: the
+            # dict spans the whole partition
+        if parent:
+            verts = list(parent)
+            yield pd.DataFrame(
+                {id_a: [find(v) for v in verts], id_b: verts}
+            )
 
     return sel.mapInPandas(_reduce, schema)
 
@@ -1178,18 +1179,16 @@ def connected_components(
         return _cc_star(pairs, id_a, id_b, max_iter)
     if method != "min_label":
         raise ValueError(f"unknown connected_components method {method!r}")
-    # partition-local spanning-forest reduction (r7, guide §2.3):
-    # components are invariant under ANY edge subset with the same
-    # connectivity, and a dense dup family of m docs contributes
-    # ~m²/2 pair edges where m−1 carry all the information. One
-    # map-only union-find per input partition collapses each
-    # partition's edges to a forest (≤ its distinct-vertex count), so
-    # the symmetrize/distinct materialization and every propagation
-    # round run on ~|V| edges instead of ~|pairs| — measured 18.9M →
-    # ~0.1M edges on the sf1.0 dup-cluster graph. Cross-partition
-    # connectivity is untouched: every reduced edge is a real input
-    # edge, and each input edge's endpoints stay connected inside its
-    # own partition's forest.
+    # partition-local star reduction (r7, guide §2.3): components are
+    # invariant under ANY edge set with the same connectivity, and a
+    # dense dup family of m docs contributes ~m²/2 pair edges where
+    # m−1 carry all the information. One map-only union-find per input
+    # partition collapses each partition's edges to its component
+    # stars (one row per distinct vertex, diameter 2), so the
+    # symmetrize/distinct materialization and every propagation round
+    # run on ~|V| edges instead of ~|pairs| — measured 18.9M → ~0.1M
+    # edges on the sf1.0 dup-cluster graph — and the propagation
+    # fixpoint arrives in ~1 round.
     pairs = _forest_reduce(pairs, id_a, id_b)
     if target_partitions is not None:
         pairs = pairs.repartition(int(target_partitions))
@@ -1278,12 +1277,11 @@ def _cc_star(
     by an order-independent edge-set signature (count + decimal xxhash
     sum — the same overflow-proof convention as the write-audit
     checksum)."""
-    # same connectivity-preserving forest reduction as min_label (r7):
-    # star contraction's per-round joins scale with |edges|, and a
-    # dense dup family needs only its tree edges. The reduction keeps
-    # every vertex's FIRST edge (incl. first-seen self-loops), so the
-    # vertex set — and therefore the singleton-cluster rows `verts`
-    # produces below — is exactly the input's.
+    # same connectivity-preserving star reduction as min_label (r7):
+    # star contraction's per-round joins scale with |edges|. Every
+    # input vertex appears in the reduced rows (roots emit their own
+    # (r, r) row), so the singleton-cluster rows `verts` produces below
+    # are exactly the input's.
     pairs = _forest_reduce(pairs, id_a, id_b)
     e0 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     # every vertex the pair list mentions — self-loop-only vertices have

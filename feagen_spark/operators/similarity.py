@@ -52,14 +52,55 @@ def _cos(a, b) -> F.Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
-def _score(cands: DataFrame, id_col, vec_col, query_id_col, query_vec_col):
+def _norm2(col) -> F.Column:
+    """L2 norm of an array column — the exact fold `_cos` runs per side,
+    exposed so callers can precompute it ONCE per row instead of once
+    per candidate pair (r7)."""
+    return F.sqrt(
+        F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def _score(
+    cands: DataFrame,
+    id_col,
+    vec_col,
+    query_id_col,
+    query_vec_col,
+    na_col: str | None = None,
+    nb_col: str | None = None,
+):
     """Exact cosine per candidate, rounded to 6dp (oracle alignment).
     ONE definition so the scoring conventions cannot drift between the
-    brute-force / LSH / IVF paths."""
+    brute-force / LSH / IVF paths. When the caller precomputed the two
+    L2 norms (``na_col``/``nb_col``, via ``_norm2`` — r7: a candidate
+    set repeats each row ~|queries| times, and the interpreted
+    higher-order fold was 2/3 of the per-pair cost), only the dot fold
+    runs per pair; the arithmetic — same fold values, same
+    dot/(na·nb), same zero-norm guard — is bit-identical to `_cos`."""
+    if na_col is None or nb_col is None:
+        return cands.select(
+            query_id_col,
+            id_col,
+            F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(query_vec_col),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na, nb = F.col(na_col), F.col(nb_col)
+    cos = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
     return cands.select(
-        query_id_col,
-        id_col,
-        F.round(_cos(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        query_id_col, id_col, F.round(cos, 6).alias("cosine")
     )
 
 
@@ -83,11 +124,16 @@ def _topk_rerank(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    na_col: str | None = None,
+    nb_col: str | None = None,
 ) -> DataFrame:
     """Score + rank in one step (brute-force / IVF paths, whose
     candidate sets are already pair-distinct)."""
     return _rank_scored(
-        _score(cands, id_col, vec_col, query_id_col, query_vec_col),
+        _score(
+            cands, id_col, vec_col, query_id_col, query_vec_col,
+            na_col=na_col, nb_col=nb_col,
+        ),
         k,
         id_col,
         query_id_col,
@@ -105,9 +151,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: returns (query_id, vec_id, cosine,
     rank) with rank 1..k per query, ties broken by id for determinism."""
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    cands = corpus.select(id_col, vec_col).crossJoin(q)
-    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+    q = F.broadcast(
+        queries.select(
+            query_id_col, query_vec_col,
+            _norm2(F.col(query_vec_col)).alias("__nb"),
+        )
+    )
+    cands = corpus.select(
+        id_col, vec_col, _norm2(F.col(vec_col)).alias("__na")
+    ).crossJoin(q)
+    return _topk_rerank(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col,
+        na_col="__na", nb_col="__nb",
+    )
 
 
 def _make_signer(dim: int, n_planes: int, seed: int):
@@ -163,15 +219,24 @@ def lsh_topk(
         dim = len(corpus.select(vec_col).first()[0])
     signer = _make_signer(dim, n_planes, seed)
 
-    c_sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
+    c_sig = corpus.select(
+        id_col,
+        vec_col,
+        _norm2(F.col(vec_col)).alias("__na"),
+        signer(F.col(vec_col)).alias("sig"),
+    )
     q_sig = queries.select(
-        query_id_col, query_vec_col, signer(F.col(query_vec_col)).alias("qsig")
+        query_id_col,
+        query_vec_col,
+        _norm2(F.col(query_vec_col)).alias("__nb"),
+        signer(F.col(query_vec_col)).alias("qsig"),
     )
     r = n_planes // bands
     mask = (1 << r) - 1
     c_bands = c_sig.select(
         id_col,
         vec_col,
+        "__na",
         F.posexplode(
             F.array(
                 *[
@@ -184,6 +249,7 @@ def lsh_topk(
     q_bands = q_sig.select(
         query_id_col,
         query_vec_col,
+        "__nb",
         F.posexplode(
             F.array(
                 *[
@@ -201,7 +267,8 @@ def lsh_topk(
     # ~16 KB/candidate of avoided shuffle).
     cands = c_bands.join(F.broadcast(q_bands), on=["band", "bucket"])
     scored = _score(
-        cands, id_col, vec_col, query_id_col, query_vec_col
+        cands, id_col, vec_col, query_id_col, query_vec_col,
+        na_col="__na", nb_col="__nb",
     ).dropDuplicates([query_id_col, id_col])
     return _rank_scored(scored, k, id_col, query_id_col)
 
@@ -406,14 +473,18 @@ def ivf_topk(
     q = queries.select(
         query_id_col,
         query_vec_col,
+        _norm2(F.col(query_vec_col)).alias("__nb"),
         F.explode(
             _nearest_centroids(F.col(query_vec_col), centroids, nprobe, mode=mode)
         ).alias("centroid_id"),
     )
-    cands = assigned.join(F.broadcast(q), on="centroid_id").select(
-        query_id_col, id_col, vec_col, query_vec_col
+    cands = assigned.withColumn("__na", _norm2(F.col(vec_col))).join(
+        F.broadcast(q), on="centroid_id"
+    ).select(query_id_col, id_col, vec_col, query_vec_col, "__na", "__nb")
+    return _topk_rerank(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col,
+        na_col="__na", nb_col="__nb",
     )
-    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def write_ivf_index(
@@ -512,6 +583,7 @@ def ivf_topk_indexed(
     q = queries.select(
         query_id_col,
         query_vec_col,
+        _norm2(F.col(query_vec_col)).alias("__nb"),
         F.explode(
             _nearest_centroids(F.col(query_vec_col), centroids, nprobe, mode=mode)
         ).alias("centroid_id"),
@@ -522,10 +594,13 @@ def ivf_topk_indexed(
     idx = spark.read.parquet(index_path).where(
         F.col("centroid_id").isin(probe_ids)
     )
-    cands = idx.join(F.broadcast(q), on="centroid_id").select(
-        query_id_col, id_col, vec_col, query_vec_col
+    cands = idx.withColumn("__na", _norm2(F.col(vec_col))).join(
+        F.broadcast(q), on="centroid_id"
+    ).select(query_id_col, id_col, vec_col, query_vec_col, "__na", "__nb")
+    return _topk_rerank(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col,
+        na_col="__na", nb_col="__nb",
     )
-    return _topk_rerank(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def cosine_near_dup_pairs(
@@ -544,12 +619,18 @@ def cosine_near_dup_pairs(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     signer = _make_signer(dim, n_planes, seed)
-    sig = corpus.select(id_col, vec_col, signer(F.col(vec_col)).alias("sig"))
+    sig = corpus.select(
+        id_col,
+        vec_col,
+        _norm2(F.col(vec_col)).alias("__n"),
+        signer(F.col(vec_col)).alias("sig"),
+    )
     r = n_planes // bands
     mask = (1 << r) - 1
     bands_df = sig.select(
         id_col,
         vec_col,
+        "__n",
         F.posexplode(
             F.array(
                 *[
@@ -566,15 +647,28 @@ def cosine_near_dup_pairs(
     # (id_a, id_b, cosine) scalars — pairs below the threshold never
     # reach it at all. The redundant re-score of a pair colliding in
     # multiple bands is map-side CPU, which is the cheap currency.
+    # precomputed norms (r7, same values as the _cos folds): only the
+    # dot fold runs per candidate pair
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    pair_cos = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (na * nb)
+    )
     return (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                _cos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-            ).alias("cosine"),
+            F.round(pair_cos, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -307,22 +307,33 @@ def unigram_logprob(
     score(d) = -(Σ_t tf(d,t) · ln p(t)) / Σ_t tf(d,t),
     p(t) = corpus occurrences of t / total corpus tokens.
 
-    Scale shape mirrors ``tfidf_terms``: (doc,term) tf groupBy
-    (map-side combinable), corpus term totals as a SUM WINDOW over the
-    term partitioning of tf (no self-join), total token count as a
-    broadcast 1-row aggregate, final per-doc groupBy. Three shuffles
-    total, every row fixed-width after the first aggregate. Docs with
-    no tokens are kept with NULL score (a filter decision, not a 0)."""
+    Scale shape: (doc,term) tf groupBy (map-side combinable), corpus
+    term totals as a term-sized broadcast aggregate over the token
+    stream (r7 — no window over the Zipf-hot term partitioning), total
+    token count as a broadcast 1-row sum of that tiny frame, final
+    per-doc groupBy. Docs with no tokens are kept with NULL score (a
+    filter decision, not a 0)."""
     toks = df.select(
         F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_term = Window.partitionBy("term").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # corpus term totals as a term-sized aggregate over the token
+    # stream, broadcast back (r7, guide §2.4/§2.5 — replaces a SUM
+    # WINDOW over the term partitioning of tf): a natural-language term
+    # domain is small and Zipf-skewed, so the window's exchange hashed
+    # every tf row into a handful of hot term groups and sorted them;
+    # the count-per-term aggregate is map-side combinable (same
+    # integers: Σ_d tf(d,t) == corpus occurrences of t), and the corpus
+    # total is the 1-row sum of that tiny frame instead of a second
+    # full tf pass.
+    term_totals = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_total")
     )
-    total = tf.agg(F.sum("tf").cast("double").alias("total_tokens"))
+    total = term_totals.agg(
+        F.sum("term_total").cast("double").alias("total_tokens")
+    )
     scored = (
-        tf.withColumn("term_total", F.sum("tf").over(w_term))
+        tf.join(F.broadcast(term_totals), on="term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
@@ -418,8 +429,9 @@ def dsir_logweight(
     stream pre-aggregates to (id, bucket) counts, corpus per-bucket
     counts come from a SUM WINDOW over the bucket partitioning of that
     same frame (the unigram_logprob term-total pattern: no self-join,
-    no recompute), the bucket-sized target counts join BROADCAST, and
-    the per-doc weight is one groupBy of ``cnt·lr``. The two smoothing
+    no recompute; an r7 A/B kept it — see the inline note), the
+    bucket-sized target counts join BROADCAST, and the per-doc weight
+    is one groupBy of ``cnt·lr``. The two smoothing
     totals are map-only token-count projections (no explode) — the
     text columns are scanned twice, the gram stream is built once.
     Every shuffled row fixed-width. Docs with no grams keep a NULL
@@ -457,17 +469,20 @@ def dsir_logweight(
     ttot = target.agg(_gram_total(target).alias("__tgt_total"))
     rtot = raw.agg(_gram_total(raw).alias("__raw_total"))
     am = float(alpha) * n_buckets
-    # ONE explode+hash pass over the raw corpus (the pre-restructure
-    # shape paid it twice — measured 2x at sf0.1): pre-aggregate to
-    # (id, bucket) counts, then derive the corpus per-bucket counts
-    # with a SUM WINDOW over the bucket partitioning of that same
-    # frame (the unigram_logprob term-total pattern — no self-join, no
-    # recompute), join the bucket-sized target counts BROADCAST, and
-    # sum cnt·lr per doc. Exchanges: (id,bkt) agg → bkt window → id
-    # agg, every shuffled row fixed-width.
+    # pre-aggregate the raw gram stream to (id, bucket) counts, attach
+    # the bucket-sized corpus totals + target counts by broadcast, sum
+    # cnt·lr per doc. Exchanges: (id,bkt) agg → id agg (+ two
+    # bucket-sized aggs), every shuffled row fixed-width.
     feats = rawf.groupBy(id_col, "__bkt").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # NOTE (r7): a broadcast-built per-bucket count table (second
+    # aggregate over the gram stream instead of this window) was
+    # A/B-measured at sf1.0 and LOST — warm 6.1-7.1 s (window) vs
+    # 9.7-10.7 s (broadcast): the broadcast build re-runs the whole
+    # explode+md5 gram pass as a serialized job, which costs more than
+    # the bucket-partitioned exchange+sort of the compact (id, bucket)
+    # frame it removes. The window stays.
     w_bkt = Window.partitionBy("__bkt").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

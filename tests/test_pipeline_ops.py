@@ -176,10 +176,11 @@ def test_ngram_jaccard_blocked_equals_join(docs):
 
 
 def test_forest_reduce_preserves_components(spark):
-    """r7: _forest_reduce must keep (a) every vertex — including ones
-    seen only in a self-loop row, (b) exact component structure, with
-    (c) only input edges, across a multi-partition scatter of a graph
-    with dense cliques, chains, dups and reversed dups."""
+    """r7: _forest_reduce (partition-local star reduction) must keep
+    (a) every vertex — including ones seen only in a self-loop row,
+    (b) exact component structure, across a multi-partition scatter of
+    a graph with dense cliques, chains, dups and reversed dups — while
+    emitting one row per (partition, vertex)."""
     import random
 
     rng = random.Random(7)
@@ -193,10 +194,9 @@ def test_forest_reduce_preserves_components(spark):
     rng.shuffle(edges)
     df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
     red = D._forest_reduce(df, "id_a", "id_b").collect()
-    in_set = {(a, b) for a, b in edges}
     red_pairs = [(r["id_a"], r["id_b"]) for r in red]
-    assert all(p in in_set for p in red_pairs)  # only input edges
-
+    # star rows connect only vertices a real input edge connected: both
+    # endpoints of every reduced row must share an input component
     def comps(pairs):
         parent = {}
 
@@ -223,15 +223,19 @@ def test_forest_reduce_preserves_components(spark):
     assert sorted(map(sorted, ref_groups.values())) == sorted(
         map(sorted, got_groups.values())
     )
-    # reduction strength: partition-local forests shave SOMETHING even
-    # scattered over 7 partitions, and collapse a co-located clique to
-    # ~|V| edges
-    assert len(red_pairs) < len(edges)
+    # every reduced row stays WITHIN one input component (no spurious
+    # merges smuggled in by the star emission)
+    for a, b in red_pairs:
+        assert ref[a] == ref[b], (a, b)
+    # output size: one row per (partition, vertex) — at most 2 vertices
+    # per edge per partition, and a co-located graph collapses to
+    # exactly |V| rows
+    assert len(red_pairs) <= 2 * len(edges)
     red1 = D._forest_reduce(
         df.coalesce(1), "id_a", "id_b"
     ).count()
     n_vertices = len(ref)
-    assert red1 <= n_vertices + 2  # forest + kept self-loops
+    assert red1 == n_vertices
 
 
 def test_minhash_lsh_finds_near_dups(docs):
@@ -967,9 +971,14 @@ def test_connected_components_star_long_chain_and_parity(spark):
     parity vs min_label on a mixed random graph."""
     import numpy as np
 
+    # scatter the chain across many partitions: the r7 partition-local
+    # star reduction legitimately SOLVES a co-located chain (one
+    # union-find pass), so the adversarial case is a chain whose edges
+    # are spread so every partition holds disconnected fragments and
+    # the reduced graph keeps a large diameter
     chain = spark.range(1000).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
-    )
+    ).repartition(64)
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(chain, max_iter=3)
     got = D.connected_components(chain, method="star", max_iter=30).toPandas()
