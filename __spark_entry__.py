@@ -1102,15 +1102,45 @@ def q_doc_lsh_recall(spark, sf_dir):
     τ=0.9, so the deterministic oracle is recall = 1.0 exactly. A miss
     shows up as a hash mismatch at the driver. Subset doc_id%2 keeps the
     exact-Jaccard ground truth affordable while containing genuine
-    near-dup pairs at every sf."""
+    near-dup pairs at every sf.
+
+    r7 restructure, same output: the original ran minhash_lsh_pairs at
+    the recall operating point (r=2 bands, max_bucket=None,
+    threshold=0.0) and semi-joined the full candidate set — but
+    2-row bands over a templated corpus put whole template families in
+    one bucket, so candidate generation materialized ~Σ B² ≈ 1.6B pair
+    rows at sf1.0 (measured >985 s) only for the semi-join to keep the
+    few thousand true pairs. With NO bucket cap and threshold 0.0,
+    `pair ∈ candidates ⟺ the two signatures agree on ≥ 1 band`, so the
+    query now computes the SAME membership per TRUE pair directly:
+    broadcast the exact-Jaccard pairs onto the signature table (the
+    identical k=64/seed-42/xxh64 signatures minhash_lsh_pairs builds)
+    and test band agreement with one `exists` over the 32 band slices —
+    |true_pairs| work instead of Σ B². n_true/n_found/recall are
+    provably unchanged."""
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 2 == 0)
     true_pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).select(
         "id_a", "id_b"
     )
-    cands = D.minhash_lsh_pairs(
-        docs, k=64, bands=32, n=3, threshold=0.0, max_bucket=None
-    ).select("id_a", "id_b")
-    found = true_pairs.join(cands, on=["id_a", "id_b"], how="left_semi")
+    k, bands = 64, 32
+    r = k // bands
+    sig = D.minhash_signatures(docs, k=k, n=3)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("__sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("__sb"))
+    band_hit = F.exists(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.forall(
+            F.sequence(F.lit(0), F.lit(r - 1)),
+            lambda i: F.element_at(F.col("__sa"), (b * r + i + 1).cast("int"))
+            == F.element_at(F.col("__sb"), (b * r + i + 1).cast("int")),
+        ),
+    )
+    found = (
+        F.broadcast(F.broadcast(true_pairs).join(sa, "id_a"))
+        .join(sb, "id_b")
+        .where(band_hit)
+        .select("id_a", "id_b")
+    )
     return (
         true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
         .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))

@@ -461,16 +461,33 @@ def _blocked_pair_counts(
             mb = np.zeros((len(ids_b), v), dtype=np.float32)
             mb[dc_b, sc_b] = 1.0
             ia_all, ib_all, inter_all = [], [], []
-            # slab bound covers BOTH the membership slab (step×v) and
-            # the count slab (step×|ids_b|): ≤ ~128 MB float32 each
-            step = max(1, (1 << 25) // max(v, len(ids_b)))
+            # slab bound covers the membership slab (step×v) and the
+            # count/ratio slabs (step×|ids_b|): ≤ ~64 MB float32 each
+            step = max(1, (1 << 24) // max(v, len(ids_b)))
+            # threshold INSIDE the slab (r7 fix): on a templated corpus
+            # virtually every doc pair shares ≥1 shingle, so extracting
+            # ALL nonzero intersections first materialized ~|A|·|B|
+            # index tuples per task before the filter ever ran
+            # (measured 985 s on a 50k-doc τ=0.9 call whose answer is a
+            # few thousand pairs). The float32 ratio check keeps an
+            # extra 1e-6 of slack (f32 error ≤ ~3e-7 here); the exact
+            # float64 prefilter below and the JVM threshold still make
+            # the emitted rows bit-identical.
+            sz_b_f = sz_b.astype("float32")
+            tau_slab = np.float32(tau - 1e-6)
             for lo in range(0, len(ids_a), step):
                 hi = min(lo + step, len(ids_a))
                 ma = np.zeros((hi - lo, v), dtype=np.float32)
                 sl = (dc_a >= lo) & (dc_a < hi)
                 ma[dc_a[sl] - lo, sc_a[sl]] = 1.0
                 inter = ma @ mb.T
-                ii, jj = np.nonzero(inter)
+                denom = (
+                    sz_a[lo:hi].astype("float32")[:, None]
+                    + sz_b_f[None, :]
+                    - inter
+                )
+                mask = (inter >= 1) & (inter >= tau_slab * denom)
+                ii, jj = np.nonzero(mask)
                 ia_all.append(ii + lo)
                 ib_all.append(jj)
                 inter_all.append(inter[ii, jj].astype("int64"))

@@ -829,6 +829,11 @@ def semantic_dedup(
                 "cent_sim"
             ),
         )
+        # pin (r7): four consumers below (candidate generation, both
+        # sides of the verification join, the final keep join) would
+        # each re-run the corpus scan + assignment + cent_sim folds —
+        # the most expensive map work in the operator — without it.
+        .localCheckpoint()
     )
     # r7 optimization (guide §4.2): the within-cluster pair cosine used
     # to run as a JVM self-join evaluating THREE O(dim) higher-order
