@@ -853,12 +853,16 @@ def _doc_clusters(spark, sf_dir):
     n-gram-Jaccard pairs (τ=0.5) → connected components. Returns
     (docs, (doc_id, cluster_id))."""
     docs = _docs(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    # fused pair-gen → edge reduction (r7): the cluster queries consume
+    # only CONNECTIVITY, so the blocked tasks union-find their
+    # certain-above-τ pairs in place and ship star rows instead of the
+    # 18.9M-row qualifying pair list (at sf1.0); the ±1e-6 boundary
+    # band still passes through the bit-exact JVM jaccard filter.
+    # Components provably equal ngram_jaccard_pairs' (parity-tested).
+    edges = D.ngram_jaccard_cluster_edges(docs, n=3, threshold=0.5)
     # sketch-sized pair graph: small fixed parallelism cuts the
     # per-round task-scheduling overhead (1.35x measured at sf0.1)
-    clusters = D.connected_components(pairs, target_partitions=4).select(
+    clusters = D.connected_components(edges, target_partitions=4).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     return docs, clusters

@@ -1077,7 +1077,15 @@ def temperature_budgets(
     windows over the sketch-sized stratum table — nothing else touches
     the corpus. NULL strata are rejected loudly (they would silently
     vanish from the downstream budget joins); empty strata (0 tokens)
-    get weight 0."""
+    get weight 0.
+
+    Rounding contract (ADVICE r6): each stratum's budget rounds
+    independently, so Σ budgets can drift from ``total_budget`` by up
+    to ~n_strata/2 tokens — negligible at token scale (a 100-stratum
+    mixture drifts ≤ 50 tokens of a budget in the billions), and the
+    samplers treat budgets as per-stratum targets, not a conserved
+    total. Largest-remainder reconciliation would break the
+    per-stratum-pure oracle arithmetic for no practical gain."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0: {temperature}")
     if total_budget < 0:

@@ -384,13 +384,30 @@ _BLOCKED_DENSE_VOCAB_MAX = 16384
 
 
 def _blocked_pair_counts(
-    sh: DataFrame, id_col: str, threshold: float, n_blocks: int
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_blocks: int,
+    cluster_edges: bool = False,
 ) -> DataFrame:
     """Exact per-pair intersection counts + set sizes for every doc pair
     whose raw Jaccard clears ``threshold − 1e-6``, computed block-pair-
     wise (see ``ngram_jaccard_pairs``). Emits
     (id_a, id_b, inter, sz_a, sz_b) with id_a < id_b; the caller owns
-    the final (JVM, bit-exact) jaccard arithmetic and threshold."""
+    the final (JVM, bit-exact) jaccard arithmetic and threshold.
+
+    ``cluster_edges`` (r7, for ``ngram_jaccard_cluster_edges``): pairs
+    whose float64 ratio — the IDENTICAL IEEE division the JVM would run
+    on the same integers — clears ``threshold + 1e-6`` are CERTAIN to
+    pass the JVM's ``round(j, 6) >= threshold`` filter (rounding moves
+    a value by ≤ 5e-7), so instead of shipping them row-per-pair they
+    are union-found in-task and emitted as (root, vertex) star rows
+    with NULL counts; only the ±1e-6 boundary band keeps its counts for
+    the JVM's bit-exact decision. Components of
+    star ∪ JVM-passed-boundary equal components of the full qualifying
+    pair set (the stars preserve exactly the certain pairs'
+    connectivity). On the sf1.0 cluster graph this turns an 18.9M-row
+    Python→JVM→Python round trip into ~40k star + ~356k boundary rows."""
     import numpy as np
     import pandas as pd
 
@@ -528,17 +545,109 @@ def _blocked_pair_counts(
         j_raw = it / (lo_sz + hi_sz - it)
         sel = it >= 1
         sel &= j_raw >= tau
-        return pd.DataFrame(
+        if not cluster_edges:
+            return pd.DataFrame(
+                {
+                    "id_a": lo_id[sel],
+                    "id_b": hi_id[sel],
+                    "inter": it[sel],
+                    "sz_a": lo_sz[sel],
+                    "sz_b": hi_sz[sel],
+                }
+            )
+        certain = sel & (j_raw >= float(threshold) + 1e-6)
+        bound = sel & ~certain
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        ca, cb = lo_id[certain], hi_id[certain]
+        for i2 in range(len(ca)):
+            a2, b2 = ca[i2], cb[i2]
+            if a2 not in parent:
+                parent[a2] = a2
+            if b2 not in parent:
+                parent[b2] = b2
+            ra, rb = find(a2), find(b2)
+            if ra != rb:
+                parent[rb] = ra
+        stars = pd.DataFrame(
             {
-                "id_a": lo_id[sel],
-                "id_b": hi_id[sel],
-                "inter": it[sel],
-                "sz_a": lo_sz[sel],
-                "sz_b": hi_sz[sel],
+                "id_a": [find(v) for v in parent],
+                "id_b": list(parent),
+                "inter": pd.array([None] * len(parent), dtype="Int64"),
+                "sz_a": pd.array([None] * len(parent), dtype="Int64"),
+                "sz_b": pd.array([None] * len(parent), dtype="Int64"),
             }
         )
+        bnd = pd.DataFrame(
+            {
+                "id_a": lo_id[bound],
+                "id_b": hi_id[bound],
+                "inter": it[bound],
+                "sz_a": lo_sz[bound],
+                "sz_b": hi_sz[bound],
+            }
+        )
+        return pd.concat([stars, bnd], ignore_index=True)
 
     return rows.groupBy("__bi", "__bj").applyInPandas(_pairs, out_schema)
+
+
+def ngram_jaccard_cluster_edges(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Edge set whose connected components EQUAL those of
+    ``ngram_jaccard_pairs(...)`` at the same parameters — the fused
+    pair-generation → edge-reduction path for dedup clustering (r7),
+    where the pair LIST is never needed, only its connectivity. Each
+    blocked task union-finds its certain-above-threshold pairs in-task
+    and ships star rows; the ±1e-6 boundary band ships its exact
+    integer counts and passes through the SAME JVM
+    ``round(inter/(sz_a+sz_b−inter), 6) >= threshold`` filter the pair
+    list applies — so the resulting components are provably identical
+    (see ``_blocked_pair_counts``). Returns (id_a, id_b) rows: stars ∪
+    JVM-passed boundary pairs."""
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    mixed = _blocked_pair_counts(
+        sh, id_col=id_col, threshold=threshold, n_blocks=n_blocks,
+        cluster_edges=True,
+    )
+    stars = mixed.where(F.col("inter").isNull()).select("id_a", "id_b")
+    boundary = (
+        mixed.where(F.col("inter").isNotNull())
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return stars.unionByName(boundary)
 
 
 # -- MinHash + LSH ---------------------------------------------------------------

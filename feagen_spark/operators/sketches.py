@@ -168,7 +168,14 @@ def hh_summary(
     the merged set. Summaries merge by plain UNION — order, layout and
     batch boundaries only change D, never break the bound. NULL items
     are not counted; NULL key values are rejected loudly (code-review
-    r6: the downstream joins are null-unsafe)."""
+    r6: the downstream joins are null-unsafe).
+
+    Cardinality contract for ``keys`` (ADVICE r6): each task holds one
+    ``capacity``-sized MG state PER key group it sees, so per-task
+    memory is O(groups-in-partition × capacity) — ``keys`` must be a
+    LOW-cardinality dimension (source, lang, tenant tier). For
+    high-cardinality keys, repartition by ``keys`` first so each task
+    sees few groups, or lower ``capacity``."""
     import pandas as pd
 
     if capacity < 1:

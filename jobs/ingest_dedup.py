@@ -183,10 +183,20 @@ def main() -> None:
                 "__tok",
                 threshold=int(mon.get("threshold", 100)),
             )
+            # cap the driver-side report (ADVICE r6 / guide §5): a low
+            # threshold over a large token domain would otherwise
+            # collect and print an unbounded map — the MG D-bound
+            # guards completeness, not result size. The full result
+            # stays computable on the cluster; the printed summary
+            # carries the top-N plus the total so truncation is loud.
+            top_n = int(mon.get("report_top_n", 100))
+            top = hh.orderBy(F.col("n").desc(), "item").limit(
+                top_n + 1
+            ).collect()  # slow-path-ok: bounded by .limit above
             summary["heavy_tokens"] = {
-                r["item"]: r["n"]
-                for r in hh.orderBy(F.col("n").desc(), "item").collect()
+                r["item"]: r["n"] for r in top[:top_n]
             }
+            summary["heavy_tokens_truncated"] = len(top) > top_n
             summary["monitored_batches"] = batches
     print(json.dumps(summary))
 

@@ -238,6 +238,31 @@ def test_forest_reduce_preserves_components(spark):
     assert red1 == n_vertices
 
 
+def test_ngram_cluster_edges_same_components(spark, docs):
+    """r7: ngram_jaccard_cluster_edges must yield EXACTLY the connected
+    components of the full ngram_jaccard_pairs set at the same
+    parameters — across thresholds that exercise both the certain band
+    and (τ near a pair's exact ratio) the boundary band."""
+    rows = [(i, f"repeat repeat repeat block {i % 4} tail {i % 7}")
+            for i in range(40)]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    for src in (docs, big):
+        for tau in (0.3, 0.5, 0.8):
+            pairs = D.ngram_jaccard_pairs(src, n=3, threshold=tau).select(
+                "id_a", "id_b"
+            )
+            edges = D.ngram_jaccard_cluster_edges(src, n=3, threshold=tau)
+            ref = {
+                (r["id"], r["cluster_id"])
+                for r in D.connected_components(pairs).collect()
+            }
+            got = {
+                (r["id"], r["cluster_id"])
+                for r in D.connected_components(edges).collect()
+            }
+            assert got == ref, (tau, len(got), len(ref))
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     got = {
         (r["id_a"], r["id_b"])
