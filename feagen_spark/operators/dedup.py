@@ -775,12 +775,19 @@ def minhash_lsh_pairs(
     )
 
     # carry the signature THROUGH the band explode: the candidate join then
-    # yields (sig_a, sig_b) directly — no join-back to the signature frame,
-    # so nothing needs persisting (a leaked .persist() here pins cached
-    # partitions for the life of a long-running session). Shuffle payload
-    # grows by k longs per band row; for k=32/bands=8 that's ~2KB per doc,
-    # far cheaper than re-running the signature shuffle twice.
-    band_rows = _band_rows(sig, k, bands, id_col)
+    # yields (sig_a, sig_b) directly — no join-back to the signature frame.
+    # Shuffle payload grows by k longs per band row; for k=32/bands=8
+    # that's ~2KB per doc, far cheaper than re-running the signature
+    # shuffle twice. Pin the band rows (r7): THREE consumers — the
+    # hot-bucket count and both sides of the self-join — otherwise each
+    # re-run the tokenize→shingle→hash→k-mins pipeline (stage metrics
+    # at sf1.0: three ~30-47 CPU-s stages for one ~47 CPU-s
+    # computation). Lazy, so plan construction stays action-free; the
+    # pinned frame is (rows × bands) signature rows, the same order of
+    # bytes the self-join shuffles anyway.
+    band_rows = _band_rows(sig, k, bands, id_col).localCheckpoint(
+        eager=False
+    )
     if max_bucket is not None:
         hot = (
             band_rows.groupBy("band", "bucket")
