@@ -742,8 +742,9 @@ def q_doc_quality_signals(spark, sf_dir):
        JVM map-only, DuckDB recomputes each signal AND the verdict.
 
     Joined on doc_id for the harness; each operator keeps its own plan
-    shape."""
-    docs = _docs(spark, sf_dir)
+    shape. The pin (r7) stops the three branches from each re-running
+    the scan + repartition of the single-row-group testdata."""
+    docs = _docs(spark, sf_dir).localCheckpoint()
     rep = TS.add_dup_ngram_ratio(docs, n=2).select(
         "doc_id",
         F.col("dup_ngram_ratio_n").alias("n_grams"),

@@ -627,6 +627,9 @@ def cosine_near_dup_pairs(
     )
     r = n_planes // bands
     mask = (1 << r) - 1
+    # pin (r7): the a/b self-join would otherwise run the signer
+    # pandas_udf and the norm fold once PER SIDE
+    sig = sig.localCheckpoint(eager=False)
     bands_df = sig.select(
         id_col,
         vec_col,
