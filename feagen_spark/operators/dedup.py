@@ -383,6 +383,37 @@ def ngram_jaccard_pairs(
 _BLOCKED_DENSE_VOCAB_MAX = 16384
 
 
+def _make_np_cc():
+    """Factory for the vectorized in-memory connected-components helper
+    (r7): min-label propagation with pointer jumping, fixpoint-iterated
+    — each vertex ends labeled with its component's minimum index.
+    Replaces a per-edge Python dict union-find whose ~µs-scale loop
+    body dominated the blocked dedup tasks (stage metrics: 281 s task
+    wall, 20 s JVM CPU — the rest was Python). Returned as a NESTED
+    function so worker closures capture it BY VALUE — a module-level
+    reference would require feagen_spark on the Python workers'
+    PYTHONPATH (the spark-submit-from-outside gotcha)."""
+
+    def cc_labels(a_idx, b_idx, n: int):
+        import numpy as np
+
+        labels = np.arange(n, dtype=np.int64)
+        while True:
+            before = labels.copy()
+            m = np.minimum(labels[a_idx], labels[b_idx])
+            np.minimum.at(labels, a_idx, m)
+            np.minimum.at(labels, b_idx, m)
+            while True:  # pointer jumping to full compression
+                nl = labels[labels]
+                if np.array_equal(nl, labels):
+                    break
+                labels = nl
+            if np.array_equal(labels, before):
+                return labels
+
+    return cc_labels
+
+
 def _blocked_pair_counts(
     sh: DataFrame,
     id_col: str,
@@ -421,6 +452,7 @@ def _blocked_pair_counts(
     # cover numpy's HALF_EVEN vs Spark's HALF_UP at the 6dp boundary.
     tau = float(threshold) - 1e-6
 
+    _cc_labels = _make_np_cc()  # by-value for worker closures
     # NULL ids can never appear in an (id_a < id_b) pair of the join
     # plan — drop them before they reach numpy comparisons
     rows = sh.where(F.col(id_col).isNotNull()).select(
@@ -557,33 +589,20 @@ def _blocked_pair_counts(
             )
         certain = sel & (j_raw >= float(threshold) + 1e-6)
         bound = sel & ~certain
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != x:
-                parent[x], x = r, parent[x]
-            return r
-
         ca, cb = lo_id[certain], hi_id[certain]
-        for i2 in range(len(ca)):
-            a2, b2 = ca[i2], cb[i2]
-            if a2 not in parent:
-                parent[a2] = a2
-            if b2 not in parent:
-                parent[b2] = b2
-            ra, rb = find(a2), find(b2)
-            if ra != rb:
-                parent[rb] = ra
+        verts = np.unique(np.concatenate([ca, cb]))
+        lab = _cc_labels(
+            np.searchsorted(verts, ca),
+            np.searchsorted(verts, cb),
+            len(verts),
+        )
         stars = pd.DataFrame(
             {
-                "id_a": [find(v) for v in parent],
-                "id_b": list(parent),
-                "inter": pd.array([None] * len(parent), dtype="Int64"),
-                "sz_a": pd.array([None] * len(parent), dtype="Int64"),
-                "sz_b": pd.array([None] * len(parent), dtype="Int64"),
+                "id_a": verts[lab],
+                "id_b": verts,
+                "inter": pd.array([None] * len(verts), dtype="Int64"),
+                "sz_a": pd.array([None] * len(verts), dtype="Int64"),
+                "sz_b": pd.array([None] * len(verts), dtype="Int64"),
             }
         )
         bnd = pd.DataFrame(
@@ -1221,47 +1240,38 @@ def _forest_reduce(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     cost diameter/2 propagation rounds). Map-only (no shuffle); rows
     with a NULL endpoint pass through unreduced (they never merge
     components in the propagation joins either)."""
+    import numpy as np
     import pandas as pd
 
     sel = pairs.select(id_a, id_b)
     schema = sel.schema
+    _cc_labels = _make_np_cc()  # by-value for worker closures
 
     def _reduce(batches):
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
+        a_all, b_all = [], []
         for pdf in batches:
             ka = pdf[id_a]
             kb = pdf[id_b]
             null_mask = ka.isna() | kb.isna()
             if null_mask.any():
                 yield pdf[null_mask]
-            av = ka[~null_mask].to_numpy()
-            bv = kb[~null_mask].to_numpy()
-            for i in range(len(av)):
-                a = av[i]
-                b = bv[i]
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[rb] = ra
-            # batches are independent of the star emission below: the
-            # dict spans the whole partition
-        if parent:
-            verts = list(parent)
-            yield pd.DataFrame(
-                {id_a: [find(v) for v in verts], id_b: verts}
-            )
+            a_all.append(ka[~null_mask].to_numpy())
+            b_all.append(kb[~null_mask].to_numpy())
+        if not a_all:
+            return
+        av = np.concatenate(a_all)
+        bv = np.concatenate(b_all)
+        if not len(av):
+            return
+        # vectorized per-partition components (see _make_np_cc) over
+        # the whole partition's edges, then the star emission
+        verts = np.unique(np.concatenate([av, bv]))
+        lab = _cc_labels(
+            np.searchsorted(verts, av),
+            np.searchsorted(verts, bv),
+            len(verts),
+        )
+        yield pd.DataFrame({id_a: verts[lab], id_b: verts})
 
     return sel.mapInPandas(_reduce, schema)
 
